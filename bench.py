@@ -1,0 +1,171 @@
+"""Benchmark harness (BASELINE.json configs).
+
+Prints ONE JSON line for the driver:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Headline metric: particle-steps/sec at 1M particles on one chip.
+vs_baseline is measured against the BASELINE.json north-star target of
+5e8 particle-steps/s (the reference publishes no numbers of its own; its
+implied real-time throughput is ~1.2e7 particle-steps/s — 100k particles
+at 120 Hz, src/main.rs:50 + src/renderer.rs:375).
+
+Run directly (`python bench.py`) for the headline line, or
+`python bench.py --all` / `python -m tpufluid bench` for the full ladder.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+BASELINE_TARGET = 5.0e8  # particle-steps/s north star (BASELINE.json)
+
+
+def _timeit(fn, state, params, *extra, warmup=3, iters=20):
+    import jax
+
+    for _ in range(warmup):
+        state = fn(state, params, *extra)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = fn(state, params, *extra)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    return dt / iters, state
+
+
+def bench_step(scene, warmup=3, iters=20, **step_kw):
+    step = scene.make_step(**step_kw)
+    state = scene.init()
+    sec, _ = _timeit(step, state, scene.params, warmup=warmup, iters=iters)
+    n = scene.settings.particle_count
+    return dict(
+        config=scene.name,
+        particles=n,
+        ms_per_step=sec * 1e3,
+        particle_steps_per_sec=n / sec,
+    )
+
+
+def bench_render(scene, width=1920, height=1080, warmup=2, iters=5):
+    import functools
+    import jax
+    from tpufluid.ops import render
+
+    step = scene.make_step()
+    state = scene.init()
+    for _ in range(3):
+        state = step(state, scene.params)
+    cam = render.Camera(view_size=(
+        scene.settings.size[0],
+        scene.settings.size[0] * height / width,
+    ))
+    rfn = jax.jit(functools.partial(
+        render.render_metaball, settings=scene.settings,
+        width=width, height=height, camera=cam, chunks=16,
+    ))
+    frame = rfn(state)
+    jax.block_until_ready(frame)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        frame = rfn(state)
+    jax.block_until_ready(frame)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms/frame
+
+
+def run_configs(which=None, out=sys.stdout):
+    """The BASELINE.json ladder. which: config number 1-5 or None for all
+    feasible on this host."""
+    import jax
+    from tpufluid import models
+
+    results = {}
+
+    def wants(i):
+        return which is None or which == i
+
+    if wants(1):
+        results["config1_4k"] = bench_step(models.dam_break_4k())
+    if wants(2):
+        results["config2_64k"] = bench_step(models.scene_64k())
+    if wants(3):
+        r = bench_step(models.scene_256k())
+        r["render_ms_per_frame_1080p"] = bench_render(models.scene_256k())
+        results["config3_256k"] = r
+    if wants(4):
+        r = bench_step(models.scene_1m())
+        # vmap batch of 8 scenes with differing gravity/viscosity
+        import numpy as np
+        scene = models.scene_1m()
+        gravities = [(0.0, -g) for g in np.linspace(0.0, 9.8, 8)]
+        viscosities = list(np.linspace(5.0, 40.0, 8))
+        bstate, bparams, bstep = models.batch_scenes(
+            scene, gravities, viscosities)
+        sec, _ = _timeit(bstep, bstate, bparams, warmup=1, iters=3)
+        r["vmap8_ms_per_step"] = sec * 1e3
+        r["vmap8_particle_steps_per_sec"] = (
+            8 * scene.settings.particle_count / sec)
+        results["config4_1m"] = r
+    if wants(5):
+        if jax.device_count() >= 2:
+            results["config5_sharded"] = bench_sharded()
+        else:
+            results["config5_sharded"] = dict(
+                skipped=f"needs multi-device, have {jax.device_count()}")
+
+    print(json.dumps(results, indent=2, default=float), file=out)
+    return results
+
+
+def bench_sharded():
+    import jax
+    import numpy as np
+    from tpufluid import SimSettings, TickParams
+    from tpufluid.parallel import (
+        build_shard_spec, init_sharded, make_sharded_step)
+
+    d = jax.device_count()
+    n = 4_194_304 if d >= 8 else 524_288 * d
+    settings = SimSettings(
+        particle_count=n, particle_spacing=0.1, smoothing_radius=0.2,
+        size=(424.0, 424.0), cell_capacity=16,
+    )
+    spec = build_shard_spec(settings, d)
+    step = make_sharded_step(spec)
+    state = init_sharded(spec)
+    params = TickParams.default()
+
+    def fn(st, p):
+        new, _ = step(st, p)
+        return new
+
+    sec, _ = _timeit(fn, state, params, warmup=2, iters=10)
+    return dict(
+        config=f"sharded-{d}dev", particles=n, ms_per_step=sec * 1e3,
+        particle_steps_per_sec=n / sec, devices=d,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true", help="full ladder to stderr")
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    if args.all:
+        run_configs(None, out=sys.stderr)
+
+    from tpufluid import models
+    r = bench_step(models.scene_1m(), warmup=3, iters=args.iters)
+    value = r["particle_steps_per_sec"]
+    print(json.dumps(dict(
+        metric="particle_steps_per_sec_1M",
+        value=value,
+        unit="particle-steps/s",
+        vs_baseline=value / BASELINE_TARGET,
+    )))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,186 @@
+"""Headless app shell: the reference's event loop as a driver API.
+
+Rebuilds reference component 2.14 (src/main.rs:20-318) without windowing:
+the Running/Render/Step/Stopped state machine, the fixed-timestep
+accumulator with frame-drop bailout (src/main.rs:137-147), the offline
+render mode's 16-ticks-per-frame cadence (src/main.rs:199-201), and the
+restart button (src/renderer.rs:873-875). Hotkeys become methods
+(Space -> toggle_running, N -> request_step, Enter -> start_render);
+mouse input becomes set_mouse (src/main.rs:275-303 semantics, already in
+world coordinates — no unprojection needed headless).
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from .params import SimSettings, TickParams
+from .state import ParticleState, init_state
+from .step import make_step
+from .ops import forcefield as ff
+from .ops import render as renderops
+from .utils import io as ioutils
+from .utils.profiling import StepTimer
+
+
+class SimState(enum.Enum):
+    RUNNING = "running"
+    RENDER = "render"
+    STEP = "step"
+    STOPPED = "stopped"
+
+
+class FluidApp:
+    """Owns settings, tick params, obstacles, and the jitted step."""
+
+    # Frame-drop bailout threshold (src/main.rs:143-146).
+    FRAME_BUDGET = 1.0 / 90.0
+    # Offline render cadence (src/main.rs:199-201).
+    TICKS_PER_RENDER_FRAME = 16
+
+    def __init__(self, settings: SimSettings = SimSettings(),
+                 params: Optional[TickParams] = None,
+                 objects: Optional[ff.Objects] = None,
+                 surface_tension: bool = False):
+        self.settings = settings
+        self.params = params or TickParams.default()
+        self.objects = objects if objects is not None else ff.Objects.empty()
+        self._has_objects = self.objects.kind.shape[0] > 0
+        self._step = make_step(
+            settings, surface_tension=surface_tension,
+            has_force_field=self._has_objects,
+        )
+        self.state = init_state(settings)
+        self.sim_state = SimState.STOPPED
+        self.accumulator = 0.0
+        self.timer = StepTimer()
+        self.dropped_frames = 0
+        self._forcefield = (
+            ff.obstacle_force_field(self.objects, settings)
+            if self._has_objects else None
+        )
+
+    # ---------------------------------------------------------------- control
+
+    def toggle_running(self) -> None:  # Space (src/main.rs:246-254)
+        if self.sim_state is SimState.STOPPED:
+            self.accumulator = 0.0
+            self.sim_state = SimState.RUNNING
+        else:
+            self.sim_state = SimState.STOPPED
+
+    def request_step(self) -> None:  # N key (src/main.rs:255-257)
+        self.sim_state = SimState.STEP
+
+    def start_render(self) -> None:  # Enter key (src/main.rs:261-269)
+        self.restart()
+        self.sim_state = SimState.RENDER
+
+    def restart(self) -> None:  # egui restart button (src/renderer.rs:873-875)
+        self.state = init_state(self.settings)
+        self.accumulator = 0.0
+
+    def set_mouse(self, pos=None, state: Optional[int] = None) -> None:
+        """World-space impulse source: state -1 repel / +1 attract / 0 off."""
+        import jax.numpy as jnp
+        if pos is not None:
+            self.params.mouse_pos = jnp.asarray(pos, jnp.float32)
+        if state is not None:
+            self.params.mouse_state = jnp.asarray(state, jnp.int32)
+
+    def set_objects(self, objects: ff.Objects) -> None:
+        """Replace the obstacle set and recompute the force field on device."""
+        self.objects = objects
+        has = objects.kind.shape[0] > 0
+        if has != self._has_objects:
+            self._has_objects = has
+            self._step = make_step(self.settings, has_force_field=has)
+        self._forcefield = (
+            ff.obstacle_force_field(objects, self.settings) if has else None
+        )
+
+    # ------------------------------------------------------------------ tick
+
+    def tick(self) -> None:
+        if self._has_objects:
+            self.state = self._step(self.state, self.params, self._forcefield)
+        else:
+            self.state = self._step(self.state, self.params)
+        self.timer.lap(self.state)
+
+    def advance(self, wall_dt: float) -> int:
+        """Fixed-timestep accumulator: run as many ticks as wall time owes,
+        bailing out if the burst exceeds the frame budget
+        (src/main.rs:137-147). Returns ticks executed."""
+        if self.sim_state is SimState.STOPPED:
+            return 0
+        if self.sim_state is SimState.STEP:
+            self.tick()
+            self.sim_state = SimState.STOPPED
+            return 1
+
+        delta = float(self.params.delta)
+        if delta == 0.0:
+            return 0
+        self.accumulator += wall_dt
+        ticks = 0
+        start = time.perf_counter()
+        while self.accumulator > delta:
+            self.tick()
+            self.accumulator -= delta
+            ticks += 1
+            if time.perf_counter() - start > self.FRAME_BUDGET:
+                self.dropped_frames += int(self.accumulator / delta)
+                self.accumulator = 0.0
+                break
+        return ticks
+
+    # ---------------------------------------------------------------- render
+
+    def render_frame(self, width=960, height=540,
+                     camera: Optional[renderops.Camera] = None,
+                     mode: str = "metaball"):
+        cam = camera or renderops.Camera(
+            view_size=(self.settings.size[0], self.settings.size[0] * height / width)
+        )
+        if mode == "metaball":
+            return renderops.render_metaball(
+                self.state, self.settings, width, height, cam)
+        if mode == "particles":
+            return renderops.render_particles(
+                self.state, self.settings, width, height, cam)
+        raise ValueError(f"unknown render mode {mode!r}")
+
+    def render_sequence(self, out_dir: str, frames: int, width=960, height=540,
+                        mode: str = "metaball",
+                        progress: Optional[Callable[[int], None]] = None):
+        """Offline render mode (src/main.rs:153-216): 16 ticks per frame,
+        PNG per frame, ETA logging via ``progress``."""
+        os.makedirs(out_dir, exist_ok=True)
+        self.sim_state = SimState.RENDER
+        paths = []
+        for i in range(frames):
+            for _ in range(self.TICKS_PER_RENDER_FRAME):
+                self.tick()
+            frame = self.render_frame(width, height, mode=mode)
+            rgba8 = np.asarray(renderops.to_rgba8(frame))
+            path = os.path.join(out_dir, f"frame_{i:05d}.png")
+            paths.append(ioutils.write_png(path, rgba8))
+            if progress:
+                progress(i)
+        self.sim_state = SimState.STOPPED
+        return paths
+
+    # ------------------------------------------------------------ checkpoint
+
+    def save(self, path: str) -> None:
+        ioutils.save_checkpoint(path, self.state)
+
+    def load(self, path: str) -> None:
+        self.state = ioutils.load_checkpoint(path)

@@ -1,0 +1,151 @@
+"""CLI driver: ``python -m tpufluid <run|render|bench|info>``.
+
+The reference's config story is hardcoded consts + egui sliders (SURVEY.md
+section 5 "Config"); here every SimSettings/TickParams field is a flag.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_common(p):
+    p.add_argument("--particles", type=int, default=100_000)
+    p.add_argument("--spacing", type=float, default=0.1)
+    p.add_argument("--radius", type=float, default=0.2,
+                   help="smoothing radius h")
+    p.add_argument("--size", type=float, nargs=2, default=(53.0, 53.0))
+    p.add_argument("--cell-capacity", type=int, default=16)
+    p.add_argument("--dt", type=float, default=1.0 / 120.0)
+    p.add_argument("--gravity", type=float, nargs=2, default=(0.0, 0.0))
+    p.add_argument("--mass", type=float, default=1.0)
+    p.add_argument("--pressure", type=float, default=50.0)
+    p.add_argument("--rest-density", type=float, default=0.0)
+    p.add_argument("--damping", type=float, default=0.1)
+    p.add_argument("--viscosity", type=float, default=25.0)
+    p.add_argument("--surface-tension", action="store_true")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="resume from / save to this .npz")
+    p.add_argument("--circle", type=float, nargs=3, action="append",
+                   default=[], metavar=("X", "Y", "R"),
+                   help="add a circle obstacle (repeatable)")
+    p.add_argument("--rect", type=float, nargs=5, action="append",
+                   default=[], metavar=("X", "Y", "W", "H", "ROT"),
+                   help="add a rotated rect obstacle (repeatable)")
+
+
+def _build_app(args):
+    from .app import FluidApp
+    from .params import SimSettings, TickParams
+    from .ops import forcefield as ff
+
+    settings = SimSettings(
+        particle_count=args.particles, particle_spacing=args.spacing,
+        smoothing_radius=args.radius, size=tuple(args.size),
+        cell_capacity=args.cell_capacity,
+    )
+    params = TickParams.default(
+        delta=args.dt, gravity=tuple(args.gravity), mass=args.mass,
+        pressure_constant=args.pressure, rest_density=args.rest_density,
+        damping_factor=args.damping, viscosity_coefficient=args.viscosity,
+    )
+    objs = [("circle", (x, y), r) for x, y, r in args.circle]
+    objs += [("rect", (x, y), (w, h), rot) for x, y, w, h, rot in args.rect]
+    objects = ff.Objects.from_list(objs) if objs else None
+    app = FluidApp(settings, params, objects,
+                   surface_tension=args.surface_tension)
+    if args.checkpoint:
+        import os
+        if os.path.exists(args.checkpoint):
+            app.load(args.checkpoint)
+    return app
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="tpufluid")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="advance the simulation N steps")
+    _add_common(run_p)
+    run_p.add_argument("--steps", type=int, default=1200)
+    run_p.add_argument("--report-every", type=int, default=120)
+
+    render_p = sub.add_parser("render", help="offline render mode")
+    _add_common(render_p)
+    render_p.add_argument("--frames", type=int, default=60)
+    render_p.add_argument("--out", type=str, default="output")
+    render_p.add_argument("--width", type=int, default=960)
+    render_p.add_argument("--height", type=int, default=540)
+    render_p.add_argument("--mode", choices=("metaball", "particles"),
+                          default="metaball")
+
+    sub.add_parser("info", help="print device/platform info")
+
+    bench_p = sub.add_parser("bench", help="run the benchmark ladder")
+    bench_p.add_argument("--config", type=int, default=None,
+                         help="BASELINE config number (1-5); default: all")
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "info":
+        import jax
+        print(json.dumps(dict(
+            backend=jax.default_backend(),
+            devices=[str(d) for d in jax.devices()],
+            device_count=jax.device_count(),
+        ), indent=2))
+        return 0
+
+    if args.cmd == "bench":
+        from bench import run_configs  # repo-root bench harness
+        run_configs(args.config)
+        return 0
+
+    app = _build_app(args)
+
+    if args.cmd == "run":
+        app.sim_state = app.sim_state.RUNNING
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            app.tick()
+            if (i + 1) % args.report_every == 0 and app.timer.last_rate:
+                rate = app.timer.last_rate
+                print(f"step {i+1}/{args.steps}  "
+                      f"{rate:.1f} steps/s  "
+                      f"{rate * app.settings.particle_count:.3e} particle-steps/s")
+        import jax
+        jax.block_until_ready(app.state.position)
+        dt = time.perf_counter() - t0
+        print(f"done: {args.steps} steps in {dt:.2f}s "
+              f"({args.steps / dt:.1f} steps/s)")
+        if args.checkpoint:
+            app.save(args.checkpoint)
+            print(f"checkpoint -> {args.checkpoint}")
+        return 0
+
+    if args.cmd == "render":
+        t0 = time.perf_counter()
+
+        def progress(i):
+            elapsed = time.perf_counter() - t0
+            eta = elapsed / (i + 1) * (args.frames - i - 1)
+            print(f"saved frame {i+1}/{args.frames}, elapsed {elapsed:.1f}s, "
+                  f"eta {eta:.1f}s")
+
+        paths = app.render_sequence(
+            args.out, args.frames, args.width, args.height,
+            mode=args.mode, progress=progress,
+        )
+        print(f"wrote {len(paths)} frames to {args.out}/")
+        if args.checkpoint:
+            app.save(args.checkpoint)
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,108 @@
+"""Scene presets: the benchmark configurations from BASELINE.json.
+
+The reference has exactly one hardcoded scene (100k particles in a 53x53
+box, src/main.rs:48-54); these presets cover it plus the driver-defined
+benchmark ladder (4k oracle scene -> 64k -> 256k -> 1M -> 4M sharded).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..params import SimSettings, TickParams
+from ..state import ParticleState, init_state
+from ..step import make_step
+
+
+@dataclasses.dataclass
+class Scene:
+    name: str
+    settings: SimSettings
+    params: TickParams
+
+    def init(self) -> ParticleState:
+        return init_state(self.settings)
+
+    def make_step(self, **kw):
+        return make_step(self.settings, **kw)
+
+
+def default_scene(**overrides) -> Scene:
+    """The reference's default scene (src/main.rs:48-54, renderer.rs:374-388)."""
+    return Scene(
+        name="reference-default-100k",
+        settings=SimSettings(**overrides),
+        params=TickParams.default(),
+    )
+
+
+def dam_break_4k() -> Scene:
+    """BASELINE config 1: 4k particles, CPU-checkable oracle scene."""
+    return Scene(
+        name="dam-break-4k",
+        settings=SimSettings(
+            particle_count=4096, particle_spacing=0.1, smoothing_radius=0.2,
+            size=(16.0, 16.0), cell_capacity=32,
+        ),
+        params=TickParams.default(gravity=(0.0, -9.8)),
+    )
+
+
+def scene_64k() -> Scene:
+    """BASELINE config 2: 64k particles, sorted neighbor search."""
+    return Scene(
+        name="sph-64k",
+        settings=SimSettings(
+            particle_count=65536, particle_spacing=0.1, smoothing_radius=0.2,
+            size=(53.0, 53.0), cell_capacity=16,
+        ),
+        params=TickParams.default(),
+    )
+
+
+def scene_256k() -> Scene:
+    """BASELINE config 3: 256k particles + JFA surface render."""
+    return Scene(
+        name="sph-256k",
+        settings=SimSettings(
+            particle_count=262144, particle_spacing=0.1, smoothing_radius=0.2,
+            size=(106.0, 106.0), cell_capacity=16,
+        ),
+        params=TickParams.default(),
+    )
+
+
+def scene_1m() -> Scene:
+    """BASELINE config 4 base: 1M particles on one chip."""
+    return Scene(
+        name="sph-1m",
+        settings=SimSettings(
+            particle_count=1_048_576, particle_spacing=0.1,
+            smoothing_radius=0.2, size=(212.0, 212.0), cell_capacity=16,
+        ),
+        params=TickParams.default(),
+    )
+
+
+def batch_scenes(scene: Scene, gravities, viscosities):
+    """BASELINE config 4: vmap batch of B independent scenes with differing
+    gravity/viscosity — the functional-design freebie the wgpu architecture
+    cannot express.
+
+    Returns (batched_state, batched_params, batched_step).
+    """
+    b = len(gravities)
+    assert len(viscosities) == b
+    state = scene.init()
+    bstate = jax.tree.map(lambda x: jnp.broadcast_to(x, (b,) + x.shape), state)
+    params = scene.params
+    bparams = jax.tree.map(lambda x: jnp.broadcast_to(x, (b,) + x.shape), params)
+    bparams.gravity = jnp.asarray(gravities, jnp.float32)
+    bparams.viscosity_coefficient = jnp.asarray(viscosities, jnp.float32)
+    step = make_step(scene.settings)
+    bstep = jax.jit(jax.vmap(step))
+    return bstate, bparams, bstep

@@ -1,0 +1,405 @@
+"""Multi-chip scaling: spatial slab sharding with ICI halo exchange.
+
+The reference is strictly single-GPU; its scaling mechanism is the
+spatial-hash sort (SURVEY.md section 5, "Long-context analog"). This module
+is the TPU-native multi-chip story (BASELINE config 5): the world is split
+into vertical slabs of grid-cell columns, one per device on a 1D
+``jax.sharding.Mesh`` axis; each step exchanges a two-column halo of
+boundary particles with mesh neighbors over ICI (``lax.ppermute``), computes
+the identical SPH physics (tpufluid.ops.pairs) on the local+halo set, and
+migrates particles whose new position crossed a slab boundary.
+
+Why a TWO-column halo: forces on my edge particles need the *densities* of
+the neighbor's first column, and those densities need the neighbor's second
+column — shipping two columns of (predicted, velocity) once per step keeps
+everything else local (one comm round, no density exchange).
+
+Shape discipline: per-device arrays are fixed capacity ``C`` with a validity
+mask; halo and migration buffers are fixed ``H``/``M`` slots packed by a
+stable sort. Overflow drops deterministically and is reported in the step
+stats, never an error (mirrors the reference's trim-and-warn buffer policy,
+src/buffer.rs:49-55).
+
+Exactness contract: sharded physics matches single-chip up to f32
+summation order when (a) each slab is >= 3 cell columns, (b) per-step
+displacement <= one cell (h), and (c) no capacity overflows; violations
+degrade gracefully (deterministically dropped neighbor contributions /
+one-step-late migrations).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..params import EPSILON, SimSettings, TickParams
+from ..state import ParticleState, init_state
+from ..ops import grid as gridops
+from ..ops import pairs
+from ..ops import prng
+from ..step import _integrate, predict_positions
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardSpec:
+    settings: SimSettings
+    n_devices: int
+    capacity: int             # per-device particle slots
+    halo_capacity: int        # per-side halo slots
+    migration_capacity: int   # per-side migration slots per step
+    col_bounds: Tuple[int, ...]  # D+1 cell-x ownership boundaries
+
+
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
+def build_shard_spec(
+    settings: SimSettings,
+    n_devices: int,
+    capacity_factor: float = 1.35,
+    halo_capacity: Optional[int] = None,
+    migration_capacity: Optional[int] = None,
+) -> ShardSpec:
+    interior = settings.grid_w - 2
+    if interior < 3 * n_devices:
+        raise ValueError(
+            f"grid too narrow: {interior} interior columns for "
+            f"{n_devices} devices (need >= 3 per slab)"
+        )
+    col_bounds = tuple(
+        1 + (d * interior) // n_devices for d in range(n_devices + 1)
+    )
+    # Data-aware capacity: the spawn lattice is a centered block
+    # (src/simulation.rs:147-163), so slab ownership is imbalanced at t=0 —
+    # size capacity from the actual initial distribution, not N/D.
+    base = init_state(settings)
+    cx0 = np.asarray(gridops.cell_xy(base.position, settings))[:, 0]
+    counts0 = np.bincount(
+        np.clip(np.searchsorted(np.asarray(col_bounds)[1:-1], cx0,
+                                side="right"), 0, n_devices - 1),
+        minlength=n_devices,
+    )
+    per_dev = max(int(counts0.max()),
+                  -(-settings.particle_count // n_devices))
+    cap = _round8(int(np.ceil(per_dev * capacity_factor)))
+    if halo_capacity is None:
+        # two columns at ~4x rest compression
+        per_col = settings.particle_count / interior
+        halo_capacity = _round8(max(128, int(per_col * 2 * 4)))
+    if migration_capacity is None:
+        migration_capacity = halo_capacity
+    return ShardSpec(
+        settings=settings, n_devices=n_devices, capacity=cap,
+        halo_capacity=_round8(halo_capacity),
+        migration_capacity=_round8(migration_capacity),
+        col_bounds=col_bounds,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardedState:
+    """Global arrays, sharded on the leading axis over mesh axis 'x'.
+
+    position/velocity: f32[D*C, 2]; valid: bool[D*C]; tick: u32 (replicated).
+    """
+
+    position: jax.Array
+    velocity: jax.Array
+    valid: jax.Array
+    tick: jax.Array
+
+
+def state_specs() -> ShardedState:
+    return ShardedState(
+        position=P("x"), velocity=P("x"), valid=P("x"), tick=P()
+    )
+
+
+def make_mesh(spec: ShardSpec, devices=None):
+    devices = devices if devices is not None else jax.devices()[: spec.n_devices]
+    return jax.make_mesh((spec.n_devices,), ("x",), devices=devices)
+
+
+def init_sharded(spec: ShardSpec, mesh=None) -> ShardedState:
+    """Distribute the reference spawn lattice (state.init_state) into slabs
+    by cell column, padded to per-device capacity."""
+    base = init_state(spec.settings)
+    pos = np.asarray(base.position)
+    vel = np.asarray(base.velocity)
+    cx = np.asarray(gridops.cell_xy(base.position, spec.settings))[:, 0]
+    bounds = np.asarray(spec.col_bounds)
+    owner = np.clip(
+        np.searchsorted(bounds[1:-1], cx, side="right"), 0, spec.n_devices - 1
+    )
+
+    c = spec.capacity
+    d = spec.n_devices
+    gpos = np.zeros((d * c, 2), np.float32)
+    gvel = np.zeros((d * c, 2), np.float32)
+    gvalid = np.zeros((d * c,), bool)
+    dropped = 0
+    for dev in range(d):
+        sel = np.nonzero(owner == dev)[0]
+        if len(sel) > c:
+            dropped += len(sel) - c
+            sel = sel[:c]
+        gpos[dev * c: dev * c + len(sel)] = pos[sel]
+        gvel[dev * c: dev * c + len(sel)] = vel[sel]
+        gvalid[dev * c: dev * c + len(sel)] = True
+    if dropped:
+        raise ValueError(
+            f"init overflow: {dropped} particles exceed capacity "
+            f"{c}; raise capacity_factor"
+        )
+
+    mesh = mesh or make_mesh(spec)
+    sharding = jax.NamedSharding(mesh, P("x"))
+    rep = jax.NamedSharding(mesh, P())
+    return ShardedState(
+        position=jax.device_put(jnp.asarray(gpos), sharding),
+        velocity=jax.device_put(jnp.asarray(gvel), sharding),
+        valid=jax.device_put(jnp.asarray(gvalid), sharding),
+        tick=jax.device_put(jnp.zeros((), jnp.uint32), rep),
+    )
+
+
+def _pack(mask, arrays, cap):
+    """Pack masked rows (in order) into fixed ``cap`` slots.
+
+    Returns (packed_arrays, valid[cap], n_dropped). Deterministic: the first
+    ``cap`` selected rows (by index) survive.
+    """
+    n = mask.shape[0]
+    key = jnp.where(mask, 0, 1).astype(jnp.int32)
+    _, perm = lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32),
+                               is_stable=True)
+    sel = perm[:cap]
+    if cap > n:  # buffer larger than the source array: pad with slot 0
+        sel = jnp.pad(sel, (0, cap - n))
+    count = jnp.sum(mask.astype(jnp.int32))
+    valid = jnp.arange(cap, dtype=jnp.int32) < count
+    packed = tuple(a[sel] for a in arrays)
+    dropped = jnp.maximum(count - cap, 0)
+    return packed, valid, dropped
+
+
+def make_sharded_step(spec: ShardSpec, mesh=None, has_force_field: bool = False,
+                      debug: bool = False):
+    """Build the jitted multi-chip step.
+
+    Returns ``step(sharded_state, params[, forcefield]) -> (state, stats)``;
+    stats: dict of i32[D] per-device counters (valid count, drops).
+    """
+    settings = spec.settings
+    mesh = mesh or make_mesh(spec)
+    d_count = spec.n_devices
+    c = spec.capacity
+    hcap = spec.halo_capacity
+    mcap = spec.migration_capacity
+    g = settings.num_cells
+    grid_w = settings.grid_w
+    norms = settings.kernel_norms()
+    h = jnp.float32(settings.smoothing_radius)
+    sqr_radius = jnp.float32(settings.sqr_radius)
+    bounds_arr = jnp.asarray(spec.col_bounds, jnp.int32)
+    inner_bounds = jnp.asarray(spec.col_bounds[1:-1], jnp.int32)
+
+    right_perm = [(i, i + 1) for i in range(d_count - 1)]
+    left_perm = [(i, i - 1) for i in range(1, d_count)]
+
+    def send_right(tree):
+        if d_count == 1:
+            return jax.tree.map(jnp.zeros_like, tree)
+        return jax.tree.map(
+            lambda x: lax.ppermute(x, "x", right_perm), tree
+        )
+
+    def send_left(tree):
+        if d_count == 1:
+            return jax.tree.map(jnp.zeros_like, tree)
+        return jax.tree.map(
+            lambda x: lax.ppermute(x, "x", left_perm), tree
+        )
+
+    def local_step(state: ShardedState, params: TickParams, forcefield):
+        pos, vel, valid = state.position, state.velocity, state.valid
+        frame = state.tick + jnp.uint32(1)
+        dev = lax.axis_index("x")
+        lo = bounds_arr[dev]
+        hi = bounds_arr[dev + 1]
+
+        # ---- predict + cells (sentinel g for invalid slots)
+        pred = predict_positions(pos, vel, params.delta, settings)
+        cells = gridops.cell_id(pred, settings)
+        cells = jnp.where(valid, cells, g)
+        cx = cells % grid_w
+
+        # ---- halo exchange: 2 boundary columns of (pred, vel) each way
+        sr_mask = valid & (cx >= hi - 2)
+        sl_mask = valid & (cx < lo + 2)
+        (hr_pred, hr_vel), hr_valid, hr_drop = _pack(
+            sr_mask, (pred, vel), hcap)
+        (hl_pred, hl_vel), hl_valid, hl_drop = _pack(
+            sl_mask, (pred, vel), hcap)
+        # my right halo arrives at d+1 as its left-side halo, and vice versa
+        rl_pred, rl_vel, rl_valid = send_right((hr_pred, hr_vel, hr_valid))
+        rr_pred, rr_vel, rr_valid = send_left((hl_pred, hl_vel, hl_valid))
+
+        # ---- combined set: local + received halos
+        pred_c = jnp.concatenate([pred, rl_pred, rr_pred])
+        vel_c = jnp.concatenate([vel, rl_vel, rr_vel])
+        pos_c = jnp.concatenate([pos, jnp.zeros_like(rl_pred),
+                                 jnp.zeros_like(rr_pred)])
+        halo_valid = jnp.concatenate([valid, rl_valid, rr_valid])
+        is_local = jnp.concatenate([
+            valid, jnp.zeros((2 * hcap,), bool)])
+        cells_c = jnp.where(
+            halo_valid, gridops.cell_id(pred_c, settings), g)
+
+        # ---- local binning over the combined set
+        t = pred_c.shape[0]
+        sorted_cells, perm = lax.sort_key_val(
+            cells_c, jnp.arange(t, dtype=jnp.int32), is_stable=True)
+        cell_start = jnp.searchsorted(
+            sorted_cells, jnp.arange(g + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+        pred_s = pred_c[perm]
+        vel_s = vel_c[perm]
+        pos_s = pos_c[perm]
+        local_s = is_local[perm]
+
+        win = gridops.point_windows(
+            jnp.minimum(sorted_cells, g - 1), cell_start, settings)
+        nb_idx = win.idx.reshape(t, -1)
+        nb_valid = win.valid.reshape(t, -1)
+        nb_pred = pred_s[nb_idx]
+
+        # ---- physics (identical pair math to the single-chip step)
+        dens = pairs.density(pred_s, nb_pred, nb_valid, params.mass, h)
+        dens = jnp.maximum(dens, EPSILON)
+        dens = jnp.maximum(dens, 0.1)
+        nb_dens = dens[nb_idx]
+        nb_vel = vel_s[nb_idx]
+        sorted_idx = jnp.arange(t, dtype=jnp.int32)
+        rand_seed = prng.position_seed(pred_s) + frame * jnp.uint32(69)
+        f_p = pairs.pressure_force(
+            sorted_idx, pred_s, dens, nb_idx, nb_pred, nb_dens, nb_valid,
+            params.pressure_constant, params.rest_density, h, sqr_radius,
+            jnp.float32(norms.spiky_derivative), rand_seed,
+        )
+        f_v = pairs.viscosity_force(
+            sorted_idx, pred_s, vel_s, nb_idx, nb_pred, nb_vel, nb_dens,
+            nb_valid, params.viscosity_coefficient, h, sqr_radius,
+            jnp.float32(norms.viscosity),
+        )
+        new_pos, new_vel = _integrate(
+            pos_s, vel_s, pred_s, dens, f_p + f_v, params, settings,
+            forcefield if has_force_field else None,
+        )
+
+        # ---- migration: owner by new position's cell column
+        ncx = gridops.cell_xy(new_pos, settings)[..., 0]
+        dest = jnp.clip(
+            jnp.searchsorted(inner_bounds, ncx, side="right"),
+            0, d_count - 1,
+        ).astype(jnp.int32)
+        route = jnp.clip(dest - dev, -1, 1)
+        keep = local_s & (route == 0)
+        go_l = local_s & (route == -1)
+        go_r = local_s & (route == 1)
+        (ml_pos, ml_vel), ml_valid, ml_drop = _pack(
+            go_l, (new_pos, new_vel), mcap)
+        (mr_pos, mr_vel), mr_valid, mr_drop = _pack(
+            go_r, (new_pos, new_vel), mcap)
+        al_pos, al_vel, al_valid = send_right((mr_pos, mr_vel, mr_valid))
+        ar_pos, ar_vel, ar_valid = send_left((ml_pos, ml_vel, ml_valid))
+
+        # ---- merge: keeps first, then arrivals
+        (k_pos, k_vel), k_valid, _ = _pack(keep, (new_pos, new_vel), c)
+        n_keep = jnp.sum(keep.astype(jnp.int32))
+        n_al = jnp.sum(al_valid.astype(jnp.int32))
+
+        la_idx = n_keep + jnp.arange(mcap, dtype=jnp.int32)
+        ra_idx = n_keep + n_al + jnp.arange(mcap, dtype=jnp.int32)
+        la_ok = al_valid & (la_idx < c)
+        ra_ok = ar_valid & (ra_idx < c)
+        la_tgt = jnp.where(la_ok, la_idx, c)
+        ra_tgt = jnp.where(ra_ok, ra_idx, c)
+        arrival_drop = (jnp.sum(al_valid.astype(jnp.int32)) - jnp.sum(la_ok)
+                        + jnp.sum(ar_valid.astype(jnp.int32)) - jnp.sum(ra_ok))
+
+        out_pos = k_pos.at[la_tgt].set(al_pos, mode="drop")
+        out_pos = out_pos.at[ra_tgt].set(ar_pos, mode="drop")
+        out_vel = k_vel.at[la_tgt].set(al_vel, mode="drop")
+        out_vel = out_vel.at[ra_tgt].set(ar_vel, mode="drop")
+        out_valid = k_valid.at[la_tgt].set(True, mode="drop")
+        out_valid = out_valid.at[ra_tgt].set(True, mode="drop")
+        out_pos = jnp.where(out_valid[:, None], out_pos, 0.0)
+        out_vel = jnp.where(out_valid[:, None], out_vel, 0.0)
+
+        stats = dict(
+            n_valid=jnp.sum(out_valid.astype(jnp.int32))[None],
+            halo_dropped=(hr_drop + hl_drop)[None],
+            migration_dropped=(ml_drop + mr_drop + arrival_drop)[None],
+        )
+        if debug:
+            stats.update(
+                dbg_pred=pred_s[None], dbg_dens=dens[None],
+                dbg_local=local_s[None], dbg_cells=sorted_cells[None],
+                dbg_fp=f_p[None], dbg_fv=f_v[None],
+            )
+        new_state = ShardedState(
+            position=out_pos, velocity=out_vel, valid=out_valid, tick=frame)
+        return new_state, stats
+
+    specs_state = state_specs()
+    specs_params = jax.tree.map(lambda _: P(), TickParams.default())
+    stats_spec = dict(n_valid=P("x"), halo_dropped=P("x"),
+                      migration_dropped=P("x"))
+    if debug:
+        stats_spec.update(
+            dbg_pred=P("x"), dbg_dens=P("x"), dbg_local=P("x"),
+            dbg_cells=P("x"), dbg_fp=P("x"), dbg_fv=P("x"),
+        )
+
+    if has_force_field:
+        fn = jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(specs_state, specs_params, P()),
+            out_specs=(specs_state, stats_spec),
+        )
+        return jax.jit(fn)
+
+    fn = jax.shard_map(
+        lambda s, p: local_step(s, p, None), mesh=mesh,
+        in_specs=(specs_state, specs_params),
+        out_specs=(specs_state, stats_spec),
+    )
+    return jax.jit(fn)
+
+
+def gather_state(sharded: ShardedState) -> ParticleState:
+    """Pull to host and compact valid particles into a ParticleState
+    (density/cell/predicted left zeroed — refreshed by the next step)."""
+    pos = np.asarray(sharded.position)
+    vel = np.asarray(sharded.velocity)
+    valid = np.asarray(sharded.valid)
+    pos, vel = pos[valid], vel[valid]
+    n = len(pos)
+    return ParticleState(
+        position=jnp.asarray(pos),
+        predicted=jnp.asarray(pos),
+        velocity=jnp.asarray(vel),
+        density=jnp.zeros((n,), jnp.float32),
+        cell=jnp.zeros((n,), jnp.uint32),
+        tick=sharded.tick,
+    )

@@ -1,0 +1,236 @@
+"""The simulation step: ONE jitted pure function.
+
+TPU-native replacement for the reference's per-tick dispatch schedule
+(``FluidSimulation::tick``, ``src/simulation.rs:459-539``): the five WGSL
+kernels + ~153 bitonic sort dispatches (compute.wgsl, sort.wgsl) collapse
+into a single ``step(state, params[, forcefield]) -> state`` that XLA fuses
+end-to-end with zero host round-trips.
+
+Pipeline (same order as src/simulation.rs:502-538):
+  predict -> cell keys -> sort+bin -> density -> forces+integrate
+
+The returned state is in cell-sorted order (the reference likewise permutes
+its particle buffer in place each tick; particles carry no identity).
+
+Two neighbor modes share every line of physics (tpufluid.ops.pairs):
+  * "grid":  fixed-shape 3x3-cell windows over the sorted array (production)
+  * "naive": all-pairs candidates (the O(N^2) oracle for tests)
+Because masked candidates contribute exactly +0.0 and both modes iterate
+neighbors in ascending sorted order, their f32 sums are bitwise identical
+(as long as cell_capacity is not exceeded) — the central correctness test.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .params import EPSILON, MAX_SPEED, SimSettings, TickParams
+from .state import ParticleState
+from .ops import grid as gridops
+from .ops import pairs
+from .ops import prng
+
+
+def predict_positions(position, velocity, delta, settings: SimSettings):
+    """predicted = pos + vel*dt, clamped to the half-bounds box
+    (compute.wgsl:8-30)."""
+    bounds_half = jnp.asarray(settings.size, jnp.float32) * 0.5
+    pred = position + velocity * delta
+    over = jnp.abs(pred) > bounds_half
+    return jnp.where(over, bounds_half * jnp.sign(pred), pred)
+
+
+def sample_force_field(predicted, forcefield, settings: SimSettings):
+    """Sample the obstacle push-out field at predicted positions
+    (compute.wgsl:127-132 semantics, including the 2x pixel_to_world scale).
+
+    forcefield: f32[H, W, 2] push-out vectors in *pixel* units.
+    Returns (force_pixels [N,2], force_world [N,2]).
+    """
+    bounds = jnp.asarray(settings.size, jnp.float32)
+    tex = jnp.asarray(
+        [settings.texture_size[0], settings.texture_size[1]], jnp.float32
+    )
+    uv = predicted / bounds + 0.5
+    texel = (uv * tex).astype(jnp.int32)
+    tx = jnp.clip(texel[..., 0], 0, settings.texture_size[0] - 1)
+    ty = jnp.clip(texel[..., 1], 0, settings.texture_size[1] - 1)
+    force = forcefield[ty, tx]
+    # Reference uses (bounds * 2) / texture_size (compute.wgsl:131) — kept.
+    pixel_to_world = (bounds * 2.0) / tex
+    return force, force * pixel_to_world
+
+
+def _apply_force_field(position, velocity, predicted, forcefield, damping,
+                       settings: SimSettings):
+    """Push-out + normal-velocity damping (compute.wgsl:127-140)."""
+    force, force_world = sample_force_field(predicted, forcefield, settings)
+    hit = (force[..., 0] != 0.0) | (force[..., 1] != 0.0)
+    norm = jnp.linalg.norm(force, axis=-1, keepdims=True)
+    safe = jnp.where(norm == 0.0, 1.0, norm)
+    nhat = force / safe
+    new_pos = position + force_world
+    vn = jnp.sum(velocity * nhat, axis=-1, keepdims=True)
+    new_vel = velocity - (1.0 - damping) * vn * nhat
+    position = jnp.where(hit[..., None], new_pos, position)
+    velocity = jnp.where(hit[..., None], new_vel, velocity)
+    return position, velocity
+
+
+def _integrate(position, velocity, predicted, density, accel, params: TickParams,
+               settings: SimSettings, forcefield: Optional[jax.Array]):
+    """Velocity + position update half of move_particle (compute.wgsl:95-155)."""
+    dt = params.delta
+    velocity = velocity + (accel / density[..., None]) * dt
+    velocity = velocity + params.gravity * dt
+
+    # Mouse impulse (compute.wgsl:99-108): dir = diff/dist^2, scaled by
+    # power * state * (dist/radius).
+    diff = params.mouse_pos - predicted
+    dist = jnp.linalg.norm(diff, axis=-1)
+    safe = jnp.where(dist == 0.0, 1.0, dist)
+    impulse = (
+        diff / (safe * safe)[..., None]
+        * (params.mouse_force_power
+           * params.mouse_state.astype(jnp.float32)
+           * (dist / params.mouse_force_radius))[..., None]
+    )
+    # dist==0 under an active press is NaN in the reference (0/0); the NaN
+    # reset below then zeroes the velocity. Reproduce that explicitly.
+    impulse = jnp.where(
+        (dist == 0.0)[..., None], jnp.float32(jnp.nan), impulse
+    )
+    apply = (params.mouse_state != 0) & (dist <= params.mouse_force_radius)
+    velocity = jnp.where(apply[..., None], velocity + impulse, velocity)
+
+    # NaN reset: if ANY component is NaN, zero the whole velocity
+    # (compute.wgsl:113-116).
+    nan_any = jnp.any(jnp.isnan(velocity), axis=-1, keepdims=True)
+    velocity = jnp.where(nan_any, 0.0, velocity)
+
+    # Speed clamp at 500 (compute.wgsl:118-122).
+    speed = jnp.linalg.norm(velocity, axis=-1, keepdims=True)
+    velocity = jnp.where(
+        speed > MAX_SPEED, velocity / speed * MAX_SPEED, velocity
+    )
+
+    position = position + velocity * dt
+
+    if forcefield is not None:
+        position, velocity = _apply_force_field(
+            position, velocity, predicted, forcefield,
+            params.damping_factor, settings,
+        )
+
+    # Boundary clamp with per-axis bounce v *= -damping (compute.wgsl:143-153).
+    bounds_half = jnp.asarray(settings.size, jnp.float32) * 0.5
+    out = jnp.abs(position) > bounds_half
+    position = jnp.where(out, bounds_half * jnp.sign(position), position)
+    velocity = jnp.where(out, velocity * -params.damping_factor, velocity)
+    return position, velocity
+
+
+def make_step(settings: SimSettings, *, neighbor_mode: str = "grid",
+              surface_tension: bool = False, has_force_field: bool = False):
+    """Build the jitted step function for fixed settings.
+
+    Returns ``step(state, params)`` or ``step(state, params, forcefield)``
+    if ``has_force_field`` (forcefield: f32[H, W, 2] pixel push-out vectors
+    from tpufluid.ops.forcefield).
+    """
+    if neighbor_mode not in ("grid", "naive"):
+        raise ValueError(f"unknown neighbor_mode {neighbor_mode!r}")
+
+    norms = settings.kernel_norms()
+    h = jnp.float32(settings.smoothing_radius)
+    sqr_radius = jnp.float32(settings.sqr_radius)
+
+    def step(state: ParticleState, params: TickParams,
+             forcefield: Optional[jax.Array] = None) -> ParticleState:
+        frame = state.tick + jnp.uint32(1)
+
+        # 1. predict (compute.wgsl:8-30)
+        pred = predict_positions(
+            state.position, state.velocity, params.delta, settings
+        )
+        # 2. cell keys (compute.wgsl:33-42)
+        cells = gridops.cell_id(pred, settings)
+        # 3. sort + segment starts (replaces sort.wgsl + compute.wgsl:45-56)
+        binning = gridops.bin_particles(cells, settings)
+        perm = binning.perm
+        pos_s = state.position[perm]
+        vel_s = state.velocity[perm]
+        pred_s = pred[perm]
+
+        n = pos_s.shape[0]
+        sorted_idx = jnp.arange(n, dtype=jnp.int32)
+        if neighbor_mode == "grid":
+            win = gridops.neighbor_windows(
+                binning.sorted_cells, binning.cell_start, settings
+            )
+            nb_idx = win.idx.reshape(n, -1)
+            nb_valid = win.valid.reshape(n, -1)
+        else:
+            nb_idx = jnp.broadcast_to(sorted_idx[None, :], (n, n))
+            nb_valid = jnp.ones((n, n), bool)
+
+        nb_pred = pred_s[nb_idx]
+
+        # 4. density, with the EPSILON and 0.1 floors applied in reference
+        # order (funcs.wgsl:202, compute.wgsl:70)
+        dens = pairs.density(pred_s, nb_pred, nb_valid, params.mass, h)
+        dens = jnp.maximum(dens, EPSILON)
+        dens = jnp.maximum(dens, 0.1)
+
+        # 5. forces (compute.wgsl:160-299)
+        nb_dens = dens[nb_idx]
+        nb_vel = vel_s[nb_idx]
+        # tie-break seed: position hash (shard-invariant; see
+        # prng.position_seed) + frame salt, cf. compute.wgsl:161
+        rand_seed = prng.position_seed(pred_s) + frame * jnp.uint32(69)
+        f_pressure = pairs.pressure_force(
+            sorted_idx, pred_s, dens, nb_idx, nb_pred, nb_dens, nb_valid,
+            params.pressure_constant, params.rest_density, h, sqr_radius,
+            jnp.float32(norms.spiky_derivative), rand_seed,
+        )
+        f_viscosity = pairs.viscosity_force(
+            sorted_idx, pred_s, vel_s, nb_idx, nb_pred, nb_vel, nb_dens,
+            nb_valid, params.viscosity_coefficient, h, sqr_radius,
+            jnp.float32(norms.viscosity),
+        )
+        accel = f_pressure + f_viscosity
+        if surface_tension:
+            # Optional: the reference implements this but leaves the call
+            # commented out (compute.wgsl:92); seed per compute.wgsl:406.
+            st_seed = (
+                pred_s[:, 0].astype(jnp.uint32) * jnp.uint32(324)
+                + frame * jnp.uint32(5632)
+            )
+            accel = accel + pairs.surface_tension(
+                pred_s, nb_pred, nb_dens, nb_valid, params.mass, h,
+                sqr_radius, params.surface_tension_threshold,
+                params.surface_tension_coefficient, st_seed,
+            )
+
+        # 6. integrate (compute.wgsl:95-155)
+        ff = forcefield if has_force_field else None
+        new_pos, new_vel = _integrate(
+            pos_s, vel_s, pred_s, dens, accel, params, settings, ff
+        )
+
+        return ParticleState(
+            position=new_pos,
+            predicted=pred_s,
+            velocity=new_vel,
+            density=dens,
+            cell=binning.sorted_cells.astype(jnp.uint32),
+            tick=frame,
+        )
+
+    if has_force_field:
+        return jax.jit(step)
+    return jax.jit(lambda state, params: step(state, params, None))
