@@ -21,24 +21,51 @@ import time
 BASELINE_TARGET = 5.0e8  # particle-steps/s north star (BASELINE.json)
 
 
-def _timeit(fn, state, params, *extra, warmup=3, iters=20):
-    import jax
+def _sync(tree):
+    """Force completion with a scalar device->host fetch.
 
+    jax.block_until_ready can return early over the axon stdio tunnel
+    (measured: a 22-TFLOP matmul scan "completed" in 0.4 ms); fetching one
+    element of the result is a true sync.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    leaf = jax.tree.leaves(tree)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
+def _warm_fetch():
+    """The tunnel's first device->host fetch can take tens of seconds;
+    do a throwaway one before timing anything."""
+    import jax.numpy as jnp
+    _sync(jnp.ones(8))
+    _sync(jnp.ones(8))
+
+
+def _timeit(fn, state, params, *extra, warmup=3, iters=20):
+    _warm_fetch()
     for _ in range(warmup):
         state = fn(state, params, *extra)
-    jax.block_until_ready(state)
+    _sync(state)
     t0 = time.perf_counter()
     for _ in range(iters):
         state = fn(state, params, *extra)
-    jax.block_until_ready(state)
+    _sync(state)
     dt = time.perf_counter() - t0
     return dt / iters, state
 
 
-def bench_step(scene, warmup=3, iters=20, **step_kw):
-    step = scene.make_step(**step_kw)
+def bench_step(scene, warmup=3, iters=20, burst=10, **step_kw):
+    """Times an on-device lax.scan burst of ``burst`` steps (single host
+    dispatch), so remote-tunnel dispatch latency doesn't pollute the
+    per-step number."""
+    from tpufluid import make_multi_step
+
+    run = make_multi_step(scene.settings, burst, **step_kw)
     state = scene.init()
-    sec, _ = _timeit(step, state, scene.params, warmup=warmup, iters=iters)
+    sec, _ = _timeit(run, state, scene.params, warmup=warmup, iters=iters)
+    sec /= burst
     n = scene.settings.particle_count
     return dict(
         config=scene.name,
@@ -66,15 +93,15 @@ def bench_render(scene, width=1920, height=1080, warmup=2, iters=5):
         width=width, height=height, camera=cam, chunks=16,
     ))
     frame = rfn(state)
-    jax.block_until_ready(frame)
+    _sync(frame)
     t0 = time.perf_counter()
     for _ in range(iters):
         frame = rfn(state)
-    jax.block_until_ready(frame)
+    _sync(frame)
     return (time.perf_counter() - t0) / iters * 1e3  # ms/frame
 
 
-def run_configs(which=None, out=sys.stdout):
+def run_configs(which=None, out=sys.stdout, mode="dense"):
     """The BASELINE.json ladder. which: config number 1-5 or None for all
     feasible on this host."""
     import jax
@@ -86,22 +113,24 @@ def run_configs(which=None, out=sys.stdout):
         return which is None or which == i
 
     if wants(1):
-        results["config1_4k"] = bench_step(models.dam_break_4k())
+        results["config1_4k"] = bench_step(models.dam_break_4k(),
+                                           neighbor_mode=mode)
     if wants(2):
-        results["config2_64k"] = bench_step(models.scene_64k())
+        results["config2_64k"] = bench_step(models.scene_64k(),
+                                            neighbor_mode=mode)
     if wants(3):
-        r = bench_step(models.scene_256k())
+        r = bench_step(models.scene_256k(), neighbor_mode=mode)
         r["render_ms_per_frame_1080p"] = bench_render(models.scene_256k())
         results["config3_256k"] = r
     if wants(4):
-        r = bench_step(models.scene_1m())
+        r = bench_step(models.scene_1m(), neighbor_mode=mode)
         # vmap batch of 8 scenes with differing gravity/viscosity
         import numpy as np
         scene = models.scene_1m()
         gravities = [(0.0, -g) for g in np.linspace(0.0, 9.8, 8)]
         viscosities = list(np.linspace(5.0, 40.0, 8))
         bstate, bparams, bstep = models.batch_scenes(
-            scene, gravities, viscosities)
+            scene, gravities, viscosities, neighbor_mode=mode)
         sec, _ = _timeit(bstep, bstate, bparams, warmup=1, iters=3)
         r["vmap8_ms_per_step"] = sec * 1e3
         r["vmap8_particle_steps_per_sec"] = (
@@ -150,14 +179,17 @@ def bench_sharded():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="full ladder to stderr")
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--neighbor-mode", default="dense",
+                    choices=("grid", "dense", "pallas"))
     args = ap.parse_args()
 
     if args.all:
         run_configs(None, out=sys.stderr)
 
     from tpufluid import models
-    r = bench_step(models.scene_1m(), warmup=3, iters=args.iters)
+    r = bench_step(models.scene_1m(), warmup=1, iters=args.iters,
+                   neighbor_mode=args.neighbor_mode)
     value = r["particle_steps_per_sec"]
     print(json.dumps(dict(
         metric="particle_steps_per_sec_1M",

@@ -1,0 +1,106 @@
+"""Forked-shader variants (SURVEY.md section 2.12) + multi-step scan."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpufluid import (
+    SimSettings, TickParams, init_state, make_multi_step, make_step,
+)
+from tpufluid.state import ParticleState
+
+
+def settings(n=256, cap=32):
+    return SimSettings(particle_count=n, particle_spacing=0.1,
+                       smoothing_radius=0.2, size=(8.0, 8.0),
+                       cell_capacity=cap)
+
+
+def test_x_wrap_teleports():
+    s = settings(n=4, cap=8)
+    step = make_step(s, x_boundary="wrap")
+    pos = jnp.asarray([[3.9, 0.0], [-3.9, 1.0], [0.0, 3.9], [1.0, 0.0]],
+                      jnp.float32)
+    vel = jnp.asarray([[100.0, 0.0], [-100.0, 0.0], [0.0, 100.0], [0.0, 0.0]],
+                      jnp.float32)
+    state = ParticleState(position=pos, predicted=pos, velocity=vel,
+                          density=jnp.ones(4), cell=jnp.zeros(4, jnp.uint32),
+                          tick=jnp.zeros((), jnp.uint32))
+    params = TickParams.default(pressure_constant=0.0,
+                                viscosity_coefficient=0.0,
+                                damping_factor=0.25)
+    out = step(state, params)
+    p, v = np.asarray(out.position), np.asarray(out.velocity)
+    # x-movers teleported to the opposite wall, velocity unchanged
+    for i in range(4):
+        if abs(p[i, 0]) >= 4.0 - 1e-6 and abs(v[i, 0]) > 1.0:
+            assert np.sign(p[i, 0]) == -np.sign(v[i, 0])
+            assert abs(abs(v[i, 0]) - 100.0) < 1e-3  # no damping applied
+    # y still bounces with damping
+    yhit = np.abs(p[:, 1]) >= 4.0 - 1e-6
+    assert yhit.any()
+    assert np.any(np.isclose(v[yhit, 1], -25.0, rtol=1e-4))
+
+
+def test_adaptive_subsampling_reduces_pressure_neighbors():
+    # pile particles into one cell so density > 200 -> stride 13
+    s = settings(n=64, cap=64)
+    rng = np.random.default_rng(0)
+    pos = (rng.uniform(-0.05, 0.05, (64, 2))).astype(np.float32)
+    state = ParticleState(
+        position=jnp.asarray(pos), predicted=jnp.asarray(pos),
+        velocity=jnp.zeros((64, 2)), density=jnp.ones(64),
+        cell=jnp.zeros(64, jnp.uint32), tick=jnp.zeros((), jnp.uint32))
+    params = TickParams.default(gravity=(0.0, 0.0))
+    full = make_step(s)(state, params)
+    sub = make_step(s, adaptive_subsampling=True)(state, params)
+    # density identical (subsampling applies to pressure only)
+    np.testing.assert_array_equal(np.asarray(full.density),
+                                  np.asarray(sub.density))
+    assert float(jnp.max(full.density)) > 200.0
+    # velocities differ: fewer pressure pairs were summed
+    assert not np.allclose(np.asarray(full.velocity), np.asarray(sub.velocity))
+    assert np.all(np.isfinite(np.asarray(sub.velocity)))
+
+
+def test_adaptive_subsampling_noop_at_low_density():
+    s = settings()
+    params = TickParams.default(gravity=(0.0, -9.8))
+    state = init_state(s)
+    a = make_step(s)(state, params)
+    b = make_step(s, adaptive_subsampling=True)(state, params)
+    # initial lattice density ~101 < 150: stride 1 everywhere -> identical
+    np.testing.assert_array_equal(np.asarray(a.velocity), np.asarray(b.velocity))
+
+
+def test_density_clamp_blue_render():
+    from tpufluid.ops import render
+    s = settings(n=128, cap=128)
+    pos = np.zeros((128, 2), np.float32)
+    from tpufluid.ops import grid as gridops
+    state = ParticleState(
+        position=jnp.asarray(pos), predicted=jnp.asarray(pos),
+        velocity=jnp.zeros((128, 2)), density=jnp.ones(128),
+        cell=gridops.cell_id(jnp.asarray(pos), s).astype(jnp.uint32),
+        tick=jnp.zeros((), jnp.uint32))
+    cam = render.Camera(view_size=(2.0, 2.0))
+    frame = np.asarray(render.render_metaball(
+        state, s, 16, 16, cam, chunks=1, density_clamp_blue=True))
+    # 64 stacked particles -> metaball density >> 50 at the center pixel
+    np.testing.assert_allclose(frame[8, 8, :3], [0.0, 0.0, 1.0], atol=1e-6)
+
+
+def test_multi_step_matches_python_loop():
+    s = settings()
+    params = TickParams.default(gravity=(0.0, -9.8))
+    step = make_step(s)
+    state_a = init_state(s)
+    for _ in range(8):
+        state_a = step(state_a, params)
+    state_b = make_multi_step(s, 8)(init_state(s), params)
+    # XLA fuses the scan body slightly differently than the standalone
+    # step -> last-ulp differences; equality is semantic, not bitwise
+    np.testing.assert_allclose(np.asarray(state_a.position),
+                               np.asarray(state_b.position), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state_a.velocity),
+                               np.asarray(state_b.velocity), atol=1e-4)
+    assert int(state_b.tick) == 8

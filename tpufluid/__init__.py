@@ -10,7 +10,7 @@ field, and multi-chip scaling uses slab sharding with ICI halo exchange.
 
 from .params import EPSILON, MAX_SPEED, KernelNorms, SimSettings, TickParams
 from .state import ParticleState, init_state
-from .step import make_step, predict_positions
+from .step import make_multi_step, make_step, predict_positions
 
 __all__ = [
     "EPSILON",
@@ -20,6 +20,7 @@ __all__ = [
     "TickParams",
     "ParticleState",
     "init_state",
+    "make_multi_step",
     "make_step",
     "predict_positions",
 ]

@@ -47,14 +47,14 @@ class FluidApp:
     def __init__(self, settings: SimSettings = SimSettings(),
                  params: Optional[TickParams] = None,
                  objects: Optional[ff.Objects] = None,
-                 surface_tension: bool = False):
+                 **step_kw):
         self.settings = settings
         self.params = params or TickParams.default()
         self.objects = objects if objects is not None else ff.Objects.empty()
         self._has_objects = self.objects.kind.shape[0] > 0
+        self._step_kw = step_kw
         self._step = make_step(
-            settings, surface_tension=surface_tension,
-            has_force_field=self._has_objects,
+            settings, has_force_field=self._has_objects, **step_kw,
         )
         self.state = init_state(settings)
         self.sim_state = SimState.STOPPED
@@ -100,7 +100,8 @@ class FluidApp:
         has = objects.kind.shape[0] > 0
         if has != self._has_objects:
             self._has_objects = has
-            self._step = make_step(self.settings, has_force_field=has)
+            self._step = make_step(self.settings, has_force_field=has,
+                                   **self._step_kw)
         self._forcefield = (
             ff.obstacle_force_field(objects, self.settings) if has else None
         )

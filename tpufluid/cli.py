@@ -27,6 +27,15 @@ def _add_common(p):
     p.add_argument("--damping", type=float, default=0.1)
     p.add_argument("--viscosity", type=float, default=25.0)
     p.add_argument("--surface-tension", action="store_true")
+    p.add_argument("--neighbor-mode",
+                   choices=("grid", "dense", "pallas", "naive"),
+                   default="dense",
+                   help="neighbor search backend (dense = TPU-fast rolls)")
+    p.add_argument("--x-boundary", choices=("bounce", "wrap"),
+                   default="bounce")
+    p.add_argument("--adaptive-subsampling", action="store_true",
+                   help="stride pressure neighbors 1/5/13 at density "
+                        "150/200 (needs --neighbor-mode grid)")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="resume from / save to this .npz")
     p.add_argument("--circle", type=float, nargs=3, action="append",
@@ -55,8 +64,13 @@ def _build_app(args):
     objs = [("circle", (x, y), r) for x, y, r in args.circle]
     objs += [("rect", (x, y), (w, h), rot) for x, y, w, h, rot in args.rect]
     objects = ff.Objects.from_list(objs) if objs else None
+    mode = args.neighbor_mode
+    if args.surface_tension or args.adaptive_subsampling:
+        mode = "grid"  # these variants need the windowed path
     app = FluidApp(settings, params, objects,
-                   surface_tension=args.surface_tension)
+                   surface_tension=args.surface_tension,
+                   adaptive_subsampling=args.adaptive_subsampling,
+                   neighbor_mode=mode, x_boundary=args.x_boundary)
     if args.checkpoint:
         import os
         if os.path.exists(args.checkpoint):

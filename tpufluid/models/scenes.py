@@ -46,7 +46,7 @@ def dam_break_4k() -> Scene:
         name="dam-break-4k",
         settings=SimSettings(
             particle_count=4096, particle_spacing=0.1, smoothing_radius=0.2,
-            size=(16.0, 16.0), cell_capacity=32,
+            size=(16.0, 16.0), cell_capacity=16,
         ),
         params=TickParams.default(gravity=(0.0, -9.8)),
     )
@@ -58,7 +58,7 @@ def scene_64k() -> Scene:
         name="sph-64k",
         settings=SimSettings(
             particle_count=65536, particle_spacing=0.1, smoothing_radius=0.2,
-            size=(53.0, 53.0), cell_capacity=16,
+            size=(53.0, 53.0), cell_capacity=8,
         ),
         params=TickParams.default(),
     )
@@ -70,7 +70,7 @@ def scene_256k() -> Scene:
         name="sph-256k",
         settings=SimSettings(
             particle_count=262144, particle_spacing=0.1, smoothing_radius=0.2,
-            size=(106.0, 106.0), cell_capacity=16,
+            size=(106.0, 106.0), cell_capacity=8,
         ),
         params=TickParams.default(),
     )
@@ -82,13 +82,13 @@ def scene_1m() -> Scene:
         name="sph-1m",
         settings=SimSettings(
             particle_count=1_048_576, particle_spacing=0.1,
-            smoothing_radius=0.2, size=(212.0, 212.0), cell_capacity=16,
+            smoothing_radius=0.2, size=(212.0, 212.0), cell_capacity=8,
         ),
         params=TickParams.default(),
     )
 
 
-def batch_scenes(scene: Scene, gravities, viscosities):
+def batch_scenes(scene: Scene, gravities, viscosities, **step_kw):
     """BASELINE config 4: vmap batch of B independent scenes with differing
     gravity/viscosity — the functional-design freebie the wgpu architecture
     cannot express.
@@ -103,6 +103,6 @@ def batch_scenes(scene: Scene, gravities, viscosities):
     bparams = jax.tree.map(lambda x: jnp.broadcast_to(x, (b,) + x.shape), params)
     bparams.gravity = jnp.asarray(gravities, jnp.float32)
     bparams.viscosity_coefficient = jnp.asarray(viscosities, jnp.float32)
-    step = make_step(scene.settings)
+    step = make_step(scene.settings, **step_kw)
     bstep = jax.jit(jax.vmap(step))
     return bstate, bparams, bstep

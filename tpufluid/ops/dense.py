@@ -1,0 +1,248 @@
+"""Dense cell-grid neighbor pass: the TPU-fast path.
+
+TPU gathers cost ~1 element/cycle, so the windowed [N, 144] neighbor gathers
+of ops.grid dominate the step (~20ms at 64k measured on v5e). This module
+replaces them with a layout XLA/Mosaic map well: particles are scattered
+ONCE into a dense per-cell slot grid in **row layout** ``[Gy, K, Gx]``
+(K = cell_capacity, minor dim = grid x → full 128-lane vectors), and every
+neighbor access becomes a jnp.roll of the whole grid — contiguous vector
+copies — followed by per-(offset, k') broadcasts of [Gy, 1, Gx] against the
+[Gy, K, Gx] self slots: pure VPU math, no gathers.
+
+Wrap-around of rolls is safe by construction: the one-cell sentinel ring
+(grid dims ceil(size/h)+2, src/simulation.rs:140) is never occupied because
+predicted positions are clamped to the half-bounds box.
+
+The physics is the same pair math as ops.pairs (kernels from ops.kernels);
+iteration order matches the windowed mode (offsets row-major, within-cell
+slots in sorted order) so results agree to reduction-tree roundoff.
+
+Capacity overflow (cell occupancy > K): surplus particles keep full state
+and keep moving, but drop out of neighbor sums for the step — deterministic
+degradation, surfaced by utils.profiling.health_check.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..params import SimSettings, TickParams
+from . import kernels
+from .prng import position_seed, rand_unit_vector
+
+
+class DenseGrid(NamedTuple):
+    flat: jax.Array       # i32[N] slot of each sorted particle (=size -> dropped)
+    px: jax.Array         # f32[Gy, K, Gx] predicted x
+    py: jax.Array         # f32[Gy, K, Gx] predicted y
+    vx: jax.Array         # f32[Gy, K, Gx]
+    vy: jax.Array         # f32[Gy, K, Gx]
+    valid: jax.Array      # bool[Gy, K, Gx]
+    n_dropped: jax.Array  # i32 particles beyond cell capacity
+
+
+def ranks(sorted_cells):
+    """Rank of each sorted particle within its cell run (no searchsorted:
+    an associative max-scan over run-start positions)."""
+    n = sorted_cells.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([
+        jnp.ones((1,), bool), sorted_cells[1:] != sorted_cells[:-1]])
+    run_start = lax.associative_scan(jnp.maximum, jnp.where(first, iota, 0))
+    return iota - run_start
+
+
+def build_grid(pred_s, vel_s, sorted_cells, settings: SimSettings) -> DenseGrid:
+    k = settings.cell_capacity
+    gy, gx = settings.grid_h, settings.grid_w
+    rank = ranks(sorted_cells)
+    keep = rank < k
+    cy = sorted_cells // gx
+    cx = sorted_cells % gx
+    size = gy * k * gx
+    flat = jnp.where(keep, (cy * k + rank) * gx + cx, size)
+
+    def scat(vals):
+        return jnp.zeros((size,), jnp.float32).at[flat].set(
+            vals, mode="drop").reshape(gy, k, gx)
+
+    return DenseGrid(
+        flat=flat,
+        px=scat(pred_s[:, 0]), py=scat(pred_s[:, 1]),
+        vx=scat(vel_s[:, 0]), vy=scat(vel_s[:, 1]),
+        valid=jnp.zeros((size,), bool).at[flat].set(
+            True, mode="drop").reshape(gy, k, gx),
+        n_dropped=jnp.sum(~keep).astype(jnp.int32),
+    )
+
+
+_OFFSETS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+
+def _roll(a, dy, dx):
+    # nb[y, :, x] = a[y+dy, :, x+dx]
+    return jnp.roll(a, (-dy, -dx), axis=(0, 2))
+
+
+def _slot(a, kp):
+    """a[:, kp:kp+1, :] with a traced kp."""
+    return lax.dynamic_slice_in_dim(a, kp, 1, axis=1)
+
+
+def density_pass(grid: DenseGrid, mass, h):
+    """rho[Gy, K, Gx]: sum of m*poly6 over the 3x3 stencil (self included,
+    matching funcs.wgsl:157-203). The per-slot loop is a fori_loop so the
+    program stays small at any cell_capacity."""
+    k = grid.px.shape[1]
+    dens = jnp.zeros_like(grid.px)
+    for dy, dx in _OFFSETS:
+        nx = _roll(grid.px, dy, dx)
+        ny = _roll(grid.py, dy, dx)
+        nv = _roll(grid.valid, dy, dx)
+
+        def body(kp, acc):
+            ddx = _slot(nx, kp) - grid.px
+            ddy = _slot(ny, kp) - grid.py
+            r2 = ddx * ddx + ddy * ddy
+            w = kernels.poly6(h, r2)
+            return acc + jnp.where(_slot(nv, kp), mass * w, 0.0)
+
+        dens = lax.fori_loop(0, k, body, dens)
+    return dens
+
+
+def force_pass(grid: DenseGrid, dens_g, params: TickParams, h, sqr_radius,
+               spiky_norm, visc_norm, frame):
+    """(fx, fy, gx_, gy_)[Gy, K, Gx]: pressure force (f) and viscosity
+    force (g), matching compute.wgsl:160-299 pair math (tie-break contract
+    as in ops.pairs)."""
+    k = grid.px.shape[1]
+    p_self = kernels.pressure_eos(
+        dens_g, params.pressure_constant, params.rest_density)
+    seed_self = (
+        position_seed(jnp.stack([grid.px, grid.py], axis=-1))
+        + frame * jnp.uint32(69)
+    )
+    k_self = jax.lax.broadcasted_iota(jnp.int32, grid.px.shape, 1)
+
+    fx = jnp.zeros_like(grid.px)
+    fy = jnp.zeros_like(grid.px)
+    gx_ = jnp.zeros_like(grid.px)
+    gy_ = jnp.zeros_like(grid.px)
+    coinc_count = jnp.zeros(grid.px.shape, jnp.uint32)
+
+    for dy, dx in _OFFSETS:
+        nx = _roll(grid.px, dy, dx)
+        ny = _roll(grid.py, dy, dx)
+        nvx = _roll(grid.vx, dy, dx)
+        nvy = _roll(grid.vy, dy, dx)
+        nv = _roll(grid.valid, dy, dx)
+        ndens = _roll(dens_g, dy, dx)
+        np_nb = kernels.pressure_eos(
+            ndens, params.pressure_constant, params.rest_density)
+        is_center = (dy == 0 and dx == 0)
+        before = (dy < 0) or (dy == 0 and dx < 0)
+
+        def body(kp, carry, nx=nx, ny=ny, nvx=nvx, nvy=nvy, nv=nv,
+                 ndens=ndens, np_nb=np_nb, is_center=is_center,
+                 before=before):
+            fx, fy, gx_, gy_, coinc_count = carry
+            ddx = _slot(nx, kp) - grid.px
+            ddy = _slot(ny, kp) - grid.py
+            r2 = ddx * ddx + ddy * ddy
+            dst = jnp.sqrt(r2)
+            ok = _slot(nv, kp) & grid.valid
+            if is_center:
+                ok = ok & (k_self != kp)
+            in_range = ok & (r2 <= sqr_radius)
+
+            safe = jnp.where(dst == 0.0, 1.0, dst)
+            dirx = ddx / safe
+            diry = ddy / safe
+
+            coincident = in_range & (dst == 0.0)
+            eff_seed = (seed_self
+                        + coinc_count * jnp.uint32(2654435761))
+            if is_center:
+                salt = jnp.where(kp < k_self, jnp.uint32(0x27220A95),
+                                 jnp.uint32(0))
+                eff_seed = eff_seed + salt
+            elif before:
+                eff_seed = eff_seed + jnp.uint32(0x27220A95)
+            rdir = rand_unit_vector(eff_seed)
+            dirx = jnp.where(coincident, rdir[..., 0], dirx)
+            diry = jnp.where(coincident, rdir[..., 1], diry)
+            coinc_count = coinc_count + coincident.astype(jnp.uint32)
+
+            ndk = _slot(ndens, kp)
+            shared_p = (p_self + _slot(np_nb, kp)) * 0.5
+            kern_p = kernels.spiky_derivative(h, dst, spiky_norm)
+            safe_rho = jnp.where(ndk == 0.0, 1.0, ndk)
+            scale_p = kern_p * shared_p / safe_rho
+            fx = fx + jnp.where(in_range, dirx * scale_p, 0.0)
+            fy = fy + jnp.where(in_range, diry * scale_p, 0.0)
+
+            kern_v = kernels.viscosity(h, dst, visc_norm)
+            scale_v = kern_v / safe_rho
+            gx_ = gx_ + jnp.where(
+                in_range, (_slot(nvx, kp) - grid.vx) * scale_v, 0.0)
+            gy_ = gy_ + jnp.where(
+                in_range, (_slot(nvy, kp) - grid.vy) * scale_v, 0.0)
+            return fx, fy, gx_, gy_, coinc_count
+
+        fx, fy, gx_, gy_, coinc_count = lax.fori_loop(
+            0, k, body, (fx, fy, gx_, gy_, coinc_count))
+
+    mu = params.viscosity_coefficient
+    return fx, fy, gx_ * mu, gy_ * mu
+
+
+def dense_neighbor_forces(pred_s, vel_s, sorted_cells, settings: SimSettings,
+                          params: TickParams, norms, frame,
+                          pallas: bool = False):
+    """Full dense pipeline for sorted particle arrays.
+
+    Returns (density[N], pressure_force[N,2], viscosity_force[N,2],
+    n_dropped). Out-of-capacity particles get density floor and zero force.
+    ``pallas=True`` routes the stencil passes through the fused Pallas
+    kernels (tpufluid.ops.pallas) instead of the XLA roll formulation.
+    """
+    from ..params import EPSILON
+
+    h = jnp.float32(settings.smoothing_radius)
+    sqr_radius = jnp.float32(settings.sqr_radius)
+    grid = build_grid(pred_s, vel_s, sorted_cells, settings)
+
+    if pallas:
+        from .pallas import sph as psph
+        dens_g = psph.density(grid, params.mass, settings.smoothing_radius)
+    else:
+        dens_g = density_pass(grid, params.mass, h)
+    dens_g = jnp.maximum(dens_g, EPSILON)
+    dens_g = jnp.maximum(dens_g, 0.1)
+
+    if pallas:
+        from .pallas import sph as psph
+        fx, fy, gx_, gy_ = psph.forces(
+            grid, dens_g, params, settings.smoothing_radius,
+            settings.sqr_radius, norms.spiky_derivative, norms.viscosity,
+            frame)
+    else:
+        fx, fy, gx_, gy_ = force_pass(
+            grid, dens_g, params, h, sqr_radius,
+            jnp.float32(norms.spiky_derivative),
+            jnp.float32(norms.viscosity), frame)
+
+    def read(a, fill):
+        flat = jnp.minimum(grid.flat, a.size)
+        return jnp.concatenate(
+            [a.reshape(-1), jnp.full((1,), fill, a.dtype)])[flat]
+
+    dens_p = read(dens_g, 0.1)
+    fp_p = jnp.stack([read(fx, 0.0), read(fy, 0.0)], axis=-1)
+    fv_p = jnp.stack([read(gx_, 0.0), read(gy_, 0.0)], axis=-1)
+    return dens_p, fp_p, fv_p, grid.n_dropped

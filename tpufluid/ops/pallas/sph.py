@@ -1,0 +1,260 @@
+"""Fused Pallas TPU kernels for the SPH stencil passes.
+
+These are the performance-critical native kernels of the framework — the
+TPU equivalents of the reference's WGSL compute shaders
+(compute.wgsl:59-299). They consume the dense row-layout cell grid of
+tpufluid.ops.dense ([Gy, K, Gx], minor dim = grid x) and compute, per grid
+row, the full 3x3-cell interaction with the row above/below/itself:
+
+  * density:  rho = sum m * poly6(r^2)                 (funcs.wgsl:157-203)
+  * forces:   symmetrized pressure + viscosity          (compute.wgsl:160-299)
+
+Kernel strategy: one program per grid ROW. The three contributing rows
+arrive as overlapping blocks (the same array is passed three times with a
+clamped index map — the clamp is safe because rows 0 / Gy-1 are the empty
+sentinel ring). The dx = -1/0/+1 shifts are lane rolls (wrap lands on empty
+sentinel columns), so the whole interaction is branch-free [K, Gx] VPU math
+with zero gathers. Static kernel constants (h, norms) are baked in at trace
+time from SimSettings; per-tick tunables (mass, k, rho0, mu, frame) arrive
+as SMEM scalars so they stay live-tunable without recompiles.
+
+On non-TPU backends the kernels run in interpreter mode (tests).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PI = math.pi
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _roll_x(a, dx):
+    """nb[..., x] = a[..., x+dx] with wraparound (sentinel columns empty)."""
+    if dx == 0:
+        return a
+    if _interpret():
+        return jnp.roll(a, -dx, axis=a.ndim - 1)
+    return pltpu.roll(a, -dx, axis=a.ndim - 1)
+
+
+def _scalar_spec():
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _row_specs(gy, k, gx, n_fields):
+    """Per field, three overlapping row blocks: rows y-1, y, y+1 (clamped)."""
+    specs = []
+    for dy in (-1, 0, 1):
+        def imap(y, dy=dy):
+            return (jnp.clip(y + dy, 0, gy - 1), 0, 0)
+        for _ in range(n_fields):
+            specs.append(pl.BlockSpec((1, k, gx), imap,
+                                      memory_space=pltpu.VMEM))
+    return specs
+
+
+def _out_spec(k, gx):
+    return pl.BlockSpec((1, k, gx), lambda y: (y, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+# --------------------------------------------------------------- density
+
+def _density_kernel(h2, norm, sc_ref, *refs):
+    # sc_ref: f32[1] = mass (SMEM)
+    # refs: 3 rows x (px, py, valid_f) then out
+    out_ref = refs[-1]
+    mass = sc_ref[0]
+    px0 = refs[3][0]
+    py0 = refs[4][0]
+    k = px0.shape[0]
+    acc = jnp.zeros_like(px0)
+    for row in range(3):
+        nx_r = refs[row * 3 + 0][0]
+        ny_r = refs[row * 3 + 1][0]
+        nv_r = refs[row * 3 + 2][0]
+        for dx in (-1, 0, 1):
+            nx = _roll_x(nx_r, dx)
+            ny = _roll_x(ny_r, dx)
+            nv = _roll_x(nv_r, dx)
+            for kp in range(k):
+                ddx = nx[kp:kp + 1, :] - px0
+                ddy = ny[kp:kp + 1, :] - py0
+                r2 = ddx * ddx + ddy * ddy
+                diff = h2 - r2
+                w = jnp.where(r2 > h2, 0.0, norm * diff * diff * diff)
+                acc = acc + jnp.where(nv[kp:kp + 1, :] > 0.0, mass * w, 0.0)
+    out_ref[0] = acc
+
+
+def density(grid, mass, h):
+    """rho[Gy, K, Gx] from a ops.dense.DenseGrid. ``h`` static (float),
+    ``mass`` traced."""
+    gy, k, gx = grid.px.shape
+    h_f = float(h)
+    h2 = h_f * h_f
+    norm = 4.0 / (PI * h_f**8)
+    vf = grid.valid.astype(jnp.float32)
+    # bind statics as Python floats: Pallas folds them into the kernel
+    kernel = functools.partial(_density_kernel, h2, norm)
+    sc = jnp.asarray(mass, jnp.float32).reshape(1)
+    return pl.pallas_call(
+        kernel,
+        grid=(gy,),
+        in_specs=[_scalar_spec()] + _row_specs(gy, k, gx, 3),
+        out_specs=_out_spec(k, gx),
+        out_shape=jax.ShapeDtypeStruct((gy, k, gx), jnp.float32),
+        interpret=_interpret(),
+    )(sc, grid.px, grid.py, vf, grid.px, grid.py, vf, grid.px, grid.py, vf)
+
+
+# ---------------------------------------------------------------- forces
+
+def _xorshift32(x):
+    x = x ^ (x << jnp.uint32(13))
+    x = x ^ (x >> jnp.uint32(17))
+    x = x ^ (x << jnp.uint32(5))
+    return x
+
+
+def _bitcast_u32(x):
+    if _interpret():
+        return jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return pltpu.bitcast(x, jnp.uint32)
+
+
+def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm,
+                   sc_ref, frame_ref, *refs):
+    # sc_ref: f32[3] = (pressure_constant, rest_density, mu); frame: u32[1]
+    # refs: 3 rows x (px, py, vx, vy, valid_f, dens), then fx, fy, gx, gy
+    fx_ref, fy_ref, gx_ref, gy_ref = refs[-4:]
+    rows = [refs[r * 6:(r + 1) * 6] for r in range(3)]
+    px0, py0, vx0, vy0, v0, d0 = (r[0] for r in rows[1])
+    k = px0.shape[0]
+    k_pressure = sc_ref[0]
+    rest_density = sc_ref[1]
+    mu = sc_ref[2]
+    frame = frame_ref[0]
+    h3 = h * h2
+
+    p_self = k_pressure * (d0 - rest_density)
+    # position-hash tie-break seed (contract in ops.prng.position_seed)
+    bx = _bitcast_u32(px0)
+    by = _bitcast_u32(py0)
+    seed_self = (bx * jnp.uint32(0x9E3779B1)) ^ (by * jnp.uint32(0x85EBCA6B))
+    seed_self = seed_self + frame * jnp.uint32(69)
+    k_self = jax.lax.broadcasted_iota(jnp.int32, px0.shape, 0)
+
+    fx = jnp.zeros_like(px0)
+    fy = jnp.zeros_like(px0)
+    gx_ = jnp.zeros_like(px0)
+    gy_ = jnp.zeros_like(px0)
+    coinc_count = jnp.zeros(px0.shape, jnp.uint32)
+
+    for row in range(3):
+        px_r, py_r, vx_r, vy_r, v_r, d_r = (r[0] for r in rows[row])
+        for dx in (-1, 0, 1):
+            nx = _roll_x(px_r, dx)
+            ny = _roll_x(py_r, dx)
+            nvx = _roll_x(vx_r, dx)
+            nvy = _roll_x(vy_r, dx)
+            nv = _roll_x(v_r, dx)
+            nd = _roll_x(d_r, dx)
+            is_center = (row == 1 and dx == 0)
+            before = (row == 0) or (row == 1 and dx == -1)
+            for kp in range(k):
+                ddx = nx[kp:kp + 1, :] - px0
+                ddy = ny[kp:kp + 1, :] - py0
+                r2 = ddx * ddx + ddy * ddy
+                dst = jnp.sqrt(r2)
+                ok = (nv[kp:kp + 1, :] > 0.0) & (v0 > 0.0)
+                if is_center:
+                    ok = ok & (k_self != kp)
+                in_range = ok & (r2 <= sqr_radius)
+
+                safe = jnp.where(dst == 0.0, 1.0, dst)
+                dirx = ddx / safe
+                diry = ddy / safe
+
+                # coincident-pair random direction (compute.wgsl:211-215)
+                coincident = in_range & (dst == 0.0)
+                eff = seed_self + coinc_count * jnp.uint32(2654435761)
+                if is_center:
+                    eff = eff + jnp.where(
+                        kp < k_self, jnp.uint32(0x27220A95), jnp.uint32(0))
+                elif before:
+                    eff = eff + jnp.uint32(0x27220A95)
+                s1 = _xorshift32(eff)
+                s2 = _xorshift32(s1)
+                rx = s1.astype(jnp.float32) / jnp.float32(4294967296.0)
+                ry = s2.astype(jnp.float32) / jnp.float32(4294967296.0)
+                rn = jnp.sqrt(rx * rx + ry * ry)
+                rn = jnp.where(rn == 0.0, 1.0, rn)
+                dirx = jnp.where(coincident, rx / rn, dirx)
+                diry = jnp.where(coincident, ry / rn, diry)
+                coinc_count = coinc_count + coincident.astype(jnp.uint32)
+
+                ndk = nd[kp:kp + 1, :]
+                p_nb = k_pressure * (ndk - rest_density)
+                shared_p = (p_self + p_nb) * 0.5
+                kern_p = jnp.where(dst <= h, -(h - dst) * spiky_norm, 0.0)
+                safe_rho = jnp.where(ndk == 0.0, 1.0, ndk)
+                scale_p = kern_p * shared_p / safe_rho
+                fx = fx + jnp.where(in_range, dirx * scale_p, 0.0)
+                fy = fy + jnp.where(in_range, diry * scale_p, 0.0)
+
+                # viscosity kernel (funcs.wgsl:112-123)
+                kv = visc_norm * (
+                    -(safe * safe * safe) / (2.0 * h3) + (safe * safe) / h2
+                    + h / (2.0 * safe) - 1.0)
+                kv = jnp.where(dst == 0.0, visc_norm, kv)
+                kv = jnp.where(dst <= h, kv, 0.0)
+                scale_v = kv / safe_rho
+                gx_ = gx_ + jnp.where(
+                    in_range, (nvx[kp:kp + 1, :] - vx0) * scale_v, 0.0)
+                gy_ = gy_ + jnp.where(
+                    in_range, (nvy[kp:kp + 1, :] - vy0) * scale_v, 0.0)
+
+    fx_ref[0] = fx
+    fy_ref[0] = fy
+    gx_ref[0] = gx_ * mu
+    gy_ref[0] = gy_ * mu
+
+
+def forces(grid, dens_g, params, h, sqr_radius, spiky_norm, visc_norm, frame):
+    """(fx, fy, gx, gy)[Gy, K, Gx] pressure / viscosity forces.
+
+    ``h``/``sqr_radius``/norms static floats; params fields + frame traced.
+    """
+    gy, k, gx = grid.px.shape
+    vf = grid.valid.astype(jnp.float32)
+    kernel = functools.partial(
+        _forces_kernel, float(h), float(h) ** 2,
+        float(sqr_radius), float(spiky_norm), float(visc_norm))
+    sc = jnp.stack([
+        params.pressure_constant.astype(jnp.float32),
+        params.rest_density.astype(jnp.float32),
+        params.viscosity_coefficient.astype(jnp.float32),
+    ])
+    fr = jnp.asarray(frame, jnp.uint32).reshape(1)
+    fields = (grid.px, grid.py, grid.vx, grid.vy, vf, dens_g)
+    return pl.pallas_call(
+        kernel,
+        grid=(gy,),
+        in_specs=[_scalar_spec(), _scalar_spec()] + _row_specs(gy, k, gx, 6),
+        out_specs=tuple(_out_spec(k, gx) for _ in range(4)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((gy, k, gx), jnp.float32) for _ in range(4)
+        ),
+        interpret=_interpret(),
+    )(sc, fr, *fields, *fields, *fields)

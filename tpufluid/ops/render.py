@@ -79,12 +79,15 @@ def render_metaball(
     camera: Camera = Camera(),
     chunks: int = 8,
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    density_clamp_blue: bool = False,
 ):
     """Fluid surface framebuffer f32[H, W, 4] in [0, 1].
 
     Expects ``state`` as returned by the step (cell-sorted, predicted/cell
     populated) — the same buffers the reference's fragment shader reads
-    (src/renderer.rs:457-458).
+    (src/renderer.rs:457-458). ``density_clamp_blue`` reproduces the forked
+    variant's solid-blue clamp above density 50
+    (shaders/fluid_shader.wgsl:101-103, SURVEY.md section 2.12).
     """
     binning = gridops.bin_particles(state.cell.astype(jnp.int32), settings)
     pred = state.predicted[binning.perm]
@@ -126,6 +129,9 @@ def render_metaball(
         bg = jnp.asarray(background, jnp.float32)
         rgb = jnp.clip(color, 0.0, 1.0)
         rgb = bg + (rgb - bg) * alpha[:, None]
+        if density_clamp_blue:
+            blue = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
+            rgb = jnp.where((density > 50.0)[:, None], blue, rgb)
         return jnp.concatenate([rgb, jnp.ones_like(alpha[:, None])], axis=-1)
 
     return _chunked_pixel_map(shade, pts, chunks)

@@ -82,7 +82,8 @@ def _apply_force_field(position, velocity, predicted, forcefield, damping,
 
 
 def _integrate(position, velocity, predicted, density, accel, params: TickParams,
-               settings: SimSettings, forcefield: Optional[jax.Array]):
+               settings: SimSettings, forcefield: Optional[jax.Array],
+               x_boundary: str = "bounce"):
     """Velocity + position update half of move_particle (compute.wgsl:95-155)."""
     dt = params.delta
     velocity = velocity + (accel / density[..., None]) * dt
@@ -126,24 +127,58 @@ def _integrate(position, velocity, predicted, density, accel, params: TickParams
             params.damping_factor, settings,
         )
 
-    # Boundary clamp with per-axis bounce v *= -damping (compute.wgsl:143-153).
+    # Boundary clamp with per-axis bounce v *= -damping (compute.wgsl:143-153);
+    # "wrap" variant teleports across the x walls with velocity untouched
+    # (shaders/compute.wgsl:145-146).
     bounds_half = jnp.asarray(settings.size, jnp.float32) * 0.5
     out = jnp.abs(position) > bounds_half
-    position = jnp.where(out, bounds_half * jnp.sign(position), position)
-    velocity = jnp.where(out, velocity * -params.damping_factor, velocity)
+    if x_boundary == "wrap":
+        wrapped_x = jnp.where(
+            out[..., 0], -bounds_half[0] * jnp.sign(position[..., 0]),
+            position[..., 0],
+        )
+        clamped_y = jnp.where(
+            out[..., 1], bounds_half[1] * jnp.sign(position[..., 1]),
+            position[..., 1],
+        )
+        position = jnp.stack([wrapped_x, clamped_y], axis=-1)
+        vy = jnp.where(out[..., 1], velocity[..., 1] * -params.damping_factor,
+                       velocity[..., 1])
+        velocity = jnp.stack([velocity[..., 0], vy], axis=-1)
+    else:
+        position = jnp.where(out, bounds_half * jnp.sign(position), position)
+        velocity = jnp.where(out, velocity * -params.damping_factor, velocity)
     return position, velocity
 
 
 def make_step(settings: SimSettings, *, neighbor_mode: str = "grid",
-              surface_tension: bool = False, has_force_field: bool = False):
+              surface_tension: bool = False, has_force_field: bool = False,
+              x_boundary: str = "bounce",
+              adaptive_subsampling: bool = False):
     """Build the jitted step function for fixed settings.
 
     Returns ``step(state, params)`` or ``step(state, params, forcefield)``
     if ``has_force_field`` (forcefield: f32[H, W, 2] pixel push-out vectors
     from tpufluid.ops.forcefield).
+
+    Variant flags reproduce the reference's forked experimental shaders
+    (SURVEY.md section 2.12):
+
+    * ``x_boundary="wrap"``: teleport-wrap at the x walls instead of bounce
+      (shaders/compute.wgsl:145-146); y keeps the bounce.
+    * ``adaptive_subsampling``: the pressure pass strides over each cell's
+      particle run by 1/5/13 as the particle's density crosses 150/200
+      (shaders/compute.wgsl:170-174,195) — an accuracy-for-speed knob for
+      highly compressed regions.
     """
-    if neighbor_mode not in ("grid", "naive"):
+    if neighbor_mode not in ("grid", "naive", "dense", "pallas"):
         raise ValueError(f"unknown neighbor_mode {neighbor_mode!r}")
+    if x_boundary not in ("bounce", "wrap"):
+        raise ValueError(f"unknown x_boundary {x_boundary!r}")
+    if neighbor_mode in ("dense", "pallas") and (
+            surface_tension or adaptive_subsampling):
+        raise ValueError(
+            "surface_tension/adaptive_subsampling need neighbor_mode='grid'")
 
     norms = settings.kernel_norms()
     h = jnp.float32(settings.smoothing_radius)
@@ -168,6 +203,26 @@ def make_step(settings: SimSettings, *, neighbor_mode: str = "grid",
 
         n = pos_s.shape[0]
         sorted_idx = jnp.arange(n, dtype=jnp.int32)
+        if neighbor_mode in ("dense", "pallas"):
+            # TPU-fast path: scatter into the dense cell grid, 3x3 stencil
+            # via rolls (ops.dense) or fused Pallas kernels (ops.pallas),
+            # no large gathers
+            from .ops import dense as denseops
+            dens, f_pressure, f_viscosity, _ = denseops.dense_neighbor_forces(
+                pred_s, vel_s, binning.sorted_cells, settings, params,
+                norms, frame, pallas=(neighbor_mode == "pallas"),
+            )
+            accel = f_pressure + f_viscosity
+            ff = forcefield if has_force_field else None
+            new_pos, new_vel = _integrate(
+                pos_s, vel_s, pred_s, dens, accel, params, settings, ff,
+                x_boundary=x_boundary,
+            )
+            return ParticleState(
+                position=new_pos, predicted=pred_s, velocity=new_vel,
+                density=dens, cell=binning.sorted_cells.astype(jnp.uint32),
+                tick=frame,
+            )
         if neighbor_mode == "grid":
             win = gridops.neighbor_windows(
                 binning.sorted_cells, binning.cell_start, settings
@@ -192,8 +247,24 @@ def make_step(settings: SimSettings, *, neighbor_mode: str = "grid",
         # tie-break seed: position hash (shard-invariant; see
         # prng.position_seed) + frame salt, cf. compute.wgsl:161
         rand_seed = prng.position_seed(pred_s) + frame * jnp.uint32(69)
+        nb_valid_pressure = nb_valid
+        if adaptive_subsampling and neighbor_mode == "grid":
+            # stride each cell run by 1/5/13 as the querying particle's
+            # density crosses 150/200 (shaders/compute.wgsl:170-174,195)
+            inc = (
+                jnp.uint32(1)
+                + jnp.where(dens >= 150.0, jnp.uint32(4), jnp.uint32(0))
+                + jnp.where(dens >= 200.0, jnp.uint32(8), jnp.uint32(0))
+            )
+            slot_cell = binning.sorted_cells[nb_idx]
+            off_in_cell = (
+                nb_idx - binning.cell_start[slot_cell]
+            ).astype(jnp.uint32)
+            nb_valid_pressure = nb_valid & (off_in_cell % inc[:, None] == 0)
+
         f_pressure = pairs.pressure_force(
-            sorted_idx, pred_s, dens, nb_idx, nb_pred, nb_dens, nb_valid,
+            sorted_idx, pred_s, dens, nb_idx, nb_pred, nb_dens,
+            nb_valid_pressure,
             params.pressure_constant, params.rest_density, h, sqr_radius,
             jnp.float32(norms.spiky_derivative), rand_seed,
         )
@@ -219,7 +290,8 @@ def make_step(settings: SimSettings, *, neighbor_mode: str = "grid",
         # 6. integrate (compute.wgsl:95-155)
         ff = forcefield if has_force_field else None
         new_pos, new_vel = _integrate(
-            pos_s, vel_s, pred_s, dens, accel, params, settings, ff
+            pos_s, vel_s, pred_s, dens, accel, params, settings, ff,
+            x_boundary=x_boundary,
         )
 
         return ParticleState(
@@ -234,3 +306,36 @@ def make_step(settings: SimSettings, *, neighbor_mode: str = "grid",
     if has_force_field:
         return jax.jit(step)
     return jax.jit(lambda state, params: step(state, params, None))
+
+
+def make_multi_step(settings: SimSettings, n_steps: int, **kw):
+    """``run(state, params[, forcefield]) -> state`` advancing ``n_steps``
+    ticks in ONE device program via ``lax.scan``.
+
+    This is the TPU replacement for the reference's per-frame tick burst
+    (src/main.rs:137-147): instead of N host-dispatched encoder submissions,
+    the whole burst is a single compiled loop — no host round-trips, which
+    matters doubly over a remote-device tunnel where each dispatch costs
+    milliseconds.
+    """
+    has_ff = kw.get("has_force_field", False)
+    # make_step returns a jitted fn; calling it inside scan is fine (the
+    # inner jit inlines under trace).
+    step = make_step(settings, **kw)
+
+    if has_ff:
+        @jax.jit
+        def run(state, params, forcefield):
+            def body(s, _):
+                return step(s, params, forcefield), None
+            out, _ = jax.lax.scan(body, state, None, length=n_steps)
+            return out
+        return run
+
+    @jax.jit
+    def run(state, params):
+        def body(s, _):
+            return step(s, params), None
+        out, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return out
+    return run
