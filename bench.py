@@ -78,9 +78,9 @@ def bench_step(scene, warmup=3, iters=20, burst=10, **step_kw):
 def bench_render(scene, width=1920, height=1080, warmup=2, iters=5):
     import functools
     import jax
-    from tpufluid.ops import render
+    from tpufluid.ops import render, render_binned
 
-    step = scene.make_step()
+    step = scene.make_step(neighbor_mode="dense")
     state = scene.init()
     for _ in range(3):
         state = step(state, scene.params)
@@ -89,8 +89,8 @@ def bench_render(scene, width=1920, height=1080, warmup=2, iters=5):
         scene.settings.size[0] * height / width,
     ))
     rfn = jax.jit(functools.partial(
-        render.render_metaball, settings=scene.settings,
-        width=width, height=height, camera=cam, chunks=16,
+        render_binned.render_metaball_binned, settings=scene.settings,
+        width=width, height=height, camera=cam,
     ))
     frame = rfn(state)
     _sync(frame)

@@ -150,11 +150,12 @@ class FluidApp:
         cam = camera or renderops.Camera(
             view_size=(self.settings.size[0], self.settings.size[0] * height / width)
         )
+        from .ops import render_binned
         if mode == "metaball":
-            return renderops.render_metaball(
+            return render_binned.render_metaball_binned(
                 self.state, self.settings, width, height, cam)
         if mode == "particles":
-            return renderops.render_particles(
+            return render_binned.render_particles_binned(
                 self.state, self.settings, width, height, cam)
         raise ValueError(f"unknown render mode {mode!r}")
 

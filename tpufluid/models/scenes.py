@@ -70,7 +70,7 @@ def scene_256k() -> Scene:
         name="sph-256k",
         settings=SimSettings(
             particle_count=262144, particle_spacing=0.1, smoothing_radius=0.2,
-            size=(106.0, 106.0), cell_capacity=8,
+            size=(53.0, 53.0), cell_capacity=8,
         ),
         params=TickParams.default(),
     )
@@ -82,7 +82,7 @@ def scene_1m() -> Scene:
         name="sph-1m",
         settings=SimSettings(
             particle_count=1_048_576, particle_spacing=0.1,
-            smoothing_radius=0.2, size=(212.0, 212.0), cell_capacity=8,
+            smoothing_radius=0.2, size=(104.0, 104.0), cell_capacity=8,
         ),
         params=TickParams.default(),
     )

@@ -56,26 +56,52 @@ def ranks(sorted_cells):
     return iota - run_start
 
 
-def build_grid(pred_s, vel_s, sorted_cells, settings: SimSettings) -> DenseGrid:
+def build_grid(pred_s, vel_s, sorted_cells, settings: SimSettings,
+               dims=None) -> DenseGrid:
+    """``dims``: optional (grid_h, grid_w) override — used by the sharded
+    step, whose local grids span only a slab's columns plus halo.
+
+    The x dimension is padded to a multiple of 128 lanes so the flat slot
+    index space coincides with the physical TPU layout: without this, every
+    scatter/gather against the grid pays a relayout (profiled at 84% of the
+    1M step). The pad columns are permanently empty; stencil rolls wrap
+    through them harmlessly.
+    """
+    return build_grid_cols(
+        pred_s[:, 0], pred_s[:, 1], vel_s[:, 0], vel_s[:, 1],
+        sorted_cells, settings, dims=dims,
+    )
+
+
+def build_grid_cols(pxs, pys, vxs, vys, sorted_cells,
+                    settings: SimSettings, dims=None) -> DenseGrid:
+    """Column-form build. ONE wide row scatter: TPU gather/scatter cost is
+    proportional to the index count, not the row width (profiled), so the
+    five per-field scatters collapse into a single [N, 5] row scatter."""
     k = settings.cell_capacity
-    gy, gx = settings.grid_h, settings.grid_w
+    gy, gx = dims if dims is not None else (settings.grid_h, settings.grid_w)
+    gx_pad = -(-gx // 128) * 128
     rank = ranks(sorted_cells)
     keep = rank < k
     cy = sorted_cells // gx
     cx = sorted_cells % gx
-    size = gy * k * gx
-    flat = jnp.where(keep, (cy * k + rank) * gx + cx, size)
+    size = gy * k * gx_pad
+    flat = jnp.where(keep, (cy * k + rank) * gx_pad + cx, size)
+
+    # NOTE: per-field element scatters — a single [N, 5] row scatter was
+    # profiled 2.4x SLOWER (row scatters hit a slow path, unlike row
+    # gathers which cost ~ index count).
+    shape = (gy, k, gx_pad)
 
     def scat(vals):
         return jnp.zeros((size,), jnp.float32).at[flat].set(
-            vals, mode="drop").reshape(gy, k, gx)
+            vals, mode="drop").reshape(shape)
 
     return DenseGrid(
         flat=flat,
-        px=scat(pred_s[:, 0]), py=scat(pred_s[:, 1]),
-        vx=scat(vel_s[:, 0]), vy=scat(vel_s[:, 1]),
+        px=scat(pxs), py=scat(pys), vx=scat(vxs), vy=scat(vys),
         valid=jnp.zeros((size,), bool).at[flat].set(
-            True, mode="drop").reshape(gy, k, gx),
+            True, mode="drop").reshape(shape),
         n_dropped=jnp.sum(~keep).astype(jnp.int32),
     )
 
@@ -98,7 +124,9 @@ def density_pass(grid: DenseGrid, mass, h):
     matching funcs.wgsl:157-203). The per-slot loop is a fori_loop so the
     program stays small at any cell_capacity."""
     k = grid.px.shape[1]
-    dens = jnp.zeros_like(grid.px)
+    # derive the loop carry from the input so it inherits any shard_map
+    # varying-axis type (a plain zeros() carry breaks under shard_map scans)
+    dens = grid.px * 0.0
     for dy, dx in _OFFSETS:
         nx = _roll(grid.px, dy, dx)
         ny = _roll(grid.py, dy, dx)
@@ -129,11 +157,10 @@ def force_pass(grid: DenseGrid, dens_g, params: TickParams, h, sqr_radius,
     )
     k_self = jax.lax.broadcasted_iota(jnp.int32, grid.px.shape, 1)
 
-    fx = jnp.zeros_like(grid.px)
-    fy = jnp.zeros_like(grid.px)
-    gx_ = jnp.zeros_like(grid.px)
-    gy_ = jnp.zeros_like(grid.px)
-    coinc_count = jnp.zeros(grid.px.shape, jnp.uint32)
+    # carries derive from inputs (shard_map varying-axis propagation)
+    zero = grid.px * 0.0
+    fx, fy, gx_, gy_ = zero, zero, zero, zero
+    coinc_count = zero.astype(jnp.uint32)
 
     for dy, dx in _OFFSETS:
         nx = _roll(grid.px, dy, dx)
@@ -203,19 +230,36 @@ def force_pass(grid: DenseGrid, dens_g, params: TickParams, h, sqr_radius,
 
 def dense_neighbor_forces(pred_s, vel_s, sorted_cells, settings: SimSettings,
                           params: TickParams, norms, frame,
-                          pallas: bool = False):
+                          pallas: bool = False, dims=None):
     """Full dense pipeline for sorted particle arrays.
 
     Returns (density[N], pressure_force[N,2], viscosity_force[N,2],
     n_dropped). Out-of-capacity particles get density floor and zero force.
     ``pallas=True`` routes the stencil passes through the fused Pallas
     kernels (tpufluid.ops.pallas) instead of the XLA roll formulation.
+    ``dims``/``sorted_cells`` may describe a local (sharded-slab) grid.
     """
+    d, fpx, fpy, fvx, fvy, nd = dense_forces_cols(
+        pred_s[:, 0], pred_s[:, 1], vel_s[:, 0], vel_s[:, 1], sorted_cells,
+        settings, params, norms, frame, pallas=pallas, dims=dims,
+    )
+    return (d, jnp.stack([fpx, fpy], -1), jnp.stack([fvx, fvy], -1), nd)
+
+
+def dense_forces_cols(pxs, pys, vxs, vys, sorted_cells,
+                      settings: SimSettings, params: TickParams, norms,
+                      frame, pallas: bool = False, dims=None):
+    """Column-form dense pipeline (all 1D particle arrays — the TPU layout
+    that keeps scatters/gathers relayout-free).
+
+    Returns (density, f_pressure_x, f_pressure_y, f_visc_x, f_visc_y,
+    n_dropped), each [N]."""
     from ..params import EPSILON
 
     h = jnp.float32(settings.smoothing_radius)
     sqr_radius = jnp.float32(settings.sqr_radius)
-    grid = build_grid(pred_s, vel_s, sorted_cells, settings)
+    grid = build_grid_cols(pxs, pys, vxs, vys, sorted_cells, settings,
+                           dims=dims)
 
     if pallas:
         from .pallas import sph as psph
@@ -237,12 +281,12 @@ def dense_neighbor_forces(pred_s, vel_s, sorted_cells, settings: SimSettings,
             jnp.float32(norms.spiky_derivative),
             jnp.float32(norms.viscosity), frame)
 
-    def read(a, fill):
-        flat = jnp.minimum(grid.flat, a.size)
-        return jnp.concatenate(
-            [a.reshape(-1), jnp.full((1,), fill, a.dtype)])[flat]
-
-    dens_p = read(dens_g, 0.1)
-    fp_p = jnp.stack([read(fx, 0.0), read(fy, 0.0)], axis=-1)
-    fv_p = jnp.stack([read(gx_, 0.0), read(gy_, 0.0)], axis=-1)
-    return dens_p, fp_p, fv_p, grid.n_dropped
+    # ONE wide row gather for the readback (cost ~ index count)
+    stack = jnp.stack(
+        [dens_g.reshape(-1), fx.reshape(-1), fy.reshape(-1),
+         gx_.reshape(-1), gy_.reshape(-1)], axis=1)  # [size, 5]
+    fill = jnp.asarray([[0.1, 0.0, 0.0, 0.0, 0.0]], jnp.float32)
+    stack = jnp.concatenate([stack, fill], axis=0)
+    out = stack[jnp.minimum(grid.flat, stack.shape[0] - 1)]  # [N, 5]
+    return (out[:, 0], out[:, 1], out[:, 2], out[:, 3], out[:, 4],
+            grid.n_dropped)

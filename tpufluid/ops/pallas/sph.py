@@ -44,7 +44,8 @@ def _roll_x(a, dx):
         return a
     if _interpret():
         return jnp.roll(a, -dx, axis=a.ndim - 1)
-    return pltpu.roll(a, -dx, axis=a.ndim - 1)
+    # pltpu.roll requires a non-negative shift
+    return pltpu.roll(a, (-dx) % a.shape[-1], axis=a.ndim - 1)
 
 
 def _scalar_spec():
@@ -133,6 +134,16 @@ def _bitcast_u32(x):
     return pltpu.bitcast(x, jnp.uint32)
 
 
+def _u01(x):
+    """uint32 -> [0,1) float. Mosaic lacks a direct u32->f32 cast; go via
+    a signed bitcast plus wraparound fixup."""
+    if _interpret():
+        return x.astype(jnp.float32) / jnp.float32(4294967296.0)
+    xi = pltpu.bitcast(x, jnp.int32).astype(jnp.float32)
+    xf = jnp.where(xi < 0.0, xi + jnp.float32(4294967296.0), xi)
+    return xf / jnp.float32(4294967296.0)
+
+
 def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm,
                    sc_ref, frame_ref, *refs):
     # sc_ref: f32[3] = (pressure_constant, rest_density, mu); frame: u32[1]
@@ -196,8 +207,8 @@ def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm,
                     eff = eff + jnp.uint32(0x27220A95)
                 s1 = _xorshift32(eff)
                 s2 = _xorshift32(s1)
-                rx = s1.astype(jnp.float32) / jnp.float32(4294967296.0)
-                ry = s2.astype(jnp.float32) / jnp.float32(4294967296.0)
+                rx = _u01(s1)
+                ry = _u01(s2)
                 rn = jnp.sqrt(rx * rx + ry * ry)
                 rn = jnp.where(rn == 0.0, 1.0, rn)
                 dirx = jnp.where(coincident, rx / rn, dirx)

@@ -193,13 +193,21 @@ def _pack(mask, arrays, cap):
 
 
 def make_sharded_step(spec: ShardSpec, mesh=None, has_force_field: bool = False,
-                      debug: bool = False):
+                      debug: bool = False, neighbor_mode: str = "grid"):
     """Build the jitted multi-chip step.
 
     Returns ``step(sharded_state, params[, forcefield]) -> (state, stats)``;
     stats: dict of i32[D] per-device counters (valid count, drops).
+    ``neighbor_mode``: "grid" (windowed gathers), "dense" or "pallas"
+    (slab-local dense cell grid — the TPU-fast paths, see ops.dense).
     """
+    if neighbor_mode not in ("grid", "dense", "pallas"):
+        raise ValueError(f"unknown neighbor_mode {neighbor_mode!r}")
     settings = spec.settings
+    # slab-local grid width: widest slab + 2 halo columns each side
+    w_loc = int(max(
+        b - a for a, b in zip(spec.col_bounds[:-1], spec.col_bounds[1:])
+    )) + 4
     mesh = mesh or make_mesh(spec)
     d_count = spec.n_devices
     c = spec.capacity
@@ -267,6 +275,42 @@ def make_sharded_step(spec: ShardSpec, mesh=None, has_force_field: bool = False,
 
         # ---- local binning over the combined set
         t = pred_c.shape[0]
+        if neighbor_mode in ("dense", "pallas"):
+            # Local-grid dense path: remap global cells into a slab-local
+            # column frame [0, w_loc) so every device's grid has the same
+            # static shape; sorting by local ids preserves the global
+            # (row-major) order. Roll wraparound joins the slab's left and
+            # right halo columns, which are >= 3 cells apart in world space
+            # — the radius cutoff rejects those pairs.
+            cy_c = cells_c // grid_w
+            lcx = (cells_c % grid_w) - (lo - 2)
+            ok_loc = halo_valid & (lcx >= 0) & (lcx < w_loc) & (cells_c < g)
+            g_loc = settings.grid_h * w_loc
+            local_cells = jnp.where(ok_loc, cy_c * w_loc + lcx, g_loc)
+            sorted_cells, perm = lax.sort_key_val(
+                local_cells, jnp.arange(t, dtype=jnp.int32), is_stable=True)
+            pred_s = pred_c[perm]
+            vel_s = vel_c[perm]
+            pos_s = pos_c[perm]
+            local_s = is_local[perm]
+            from ..ops import dense as denseops
+            dens, f_p, f_v, _ = denseops.dense_neighbor_forces(
+                pred_s, vel_s, sorted_cells, settings, params, norms, frame,
+                pallas=(neighbor_mode == "pallas"),
+                dims=(settings.grid_h, w_loc),
+            )
+            new_pos, new_vel = _integrate(
+                pos_s, vel_s, pred_s, dens, f_p + f_v, params, settings,
+                forcefield if has_force_field else None,
+            )
+            return _migrate_and_merge(
+                new_pos, new_vel, local_s, dev, frame,
+                hr_drop + hl_drop, debug_extra=dict(
+                    dbg_pred=pred_s, dbg_dens=dens, dbg_local=local_s,
+                    dbg_cells=sorted_cells, dbg_fp=f_p, dbg_fv=f_v,
+                ) if debug else None,
+            )
+
         sorted_cells, perm = lax.sort_key_val(
             cells_c, jnp.arange(t, dtype=jnp.int32), is_stable=True)
         cell_start = jnp.searchsorted(
@@ -305,7 +349,16 @@ def make_sharded_step(spec: ShardSpec, mesh=None, has_force_field: bool = False,
             pos_s, vel_s, pred_s, dens, f_p + f_v, params, settings,
             forcefield if has_force_field else None,
         )
+        return _migrate_and_merge(
+            new_pos, new_vel, local_s, dev, frame, hr_drop + hl_drop,
+            debug_extra=dict(
+                dbg_pred=pred_s, dbg_dens=dens, dbg_local=local_s,
+                dbg_cells=sorted_cells, dbg_fp=f_p, dbg_fv=f_v,
+            ) if debug else None,
+        )
 
+    def _migrate_and_merge(new_pos, new_vel, local_s, dev, frame, halo_drop,
+                           debug_extra=None):
         # ---- migration: owner by new position's cell column
         ncx = gridops.cell_xy(new_pos, settings)[..., 0]
         dest = jnp.clip(
@@ -348,15 +401,11 @@ def make_sharded_step(spec: ShardSpec, mesh=None, has_force_field: bool = False,
 
         stats = dict(
             n_valid=jnp.sum(out_valid.astype(jnp.int32))[None],
-            halo_dropped=(hr_drop + hl_drop)[None],
+            halo_dropped=halo_drop[None],
             migration_dropped=(ml_drop + mr_drop + arrival_drop)[None],
         )
-        if debug:
-            stats.update(
-                dbg_pred=pred_s[None], dbg_dens=dens[None],
-                dbg_local=local_s[None], dbg_cells=sorted_cells[None],
-                dbg_fp=f_p[None], dbg_fv=f_v[None],
-            )
+        if debug_extra is not None:
+            stats.update({k: v[None] for k, v in debug_extra.items()})
         new_state = ShardedState(
             position=out_pos, velocity=out_vel, valid=out_valid, tick=frame)
         return new_state, stats

@@ -197,32 +197,42 @@ def make_step(settings: SimSettings, *, neighbor_mode: str = "grid",
         # 3. sort + segment starts (replaces sort.wgsl + compute.wgsl:45-56)
         binning = gridops.bin_particles(cells, settings)
         perm = binning.perm
-        pos_s = state.position[perm]
-        vel_s = state.velocity[perm]
-        pred_s = pred[perm]
-
-        n = pos_s.shape[0]
+        n = perm.shape[0]
         sorted_idx = jnp.arange(n, dtype=jnp.int32)
         if neighbor_mode in ("dense", "pallas"):
             # TPU-fast path: scatter into the dense cell grid, 3x3 stencil
-            # via rolls (ops.dense) or fused Pallas kernels (ops.pallas),
-            # no large gathers
+            # via rolls (ops.dense) or fused Pallas kernels (ops.pallas).
+            # Fully column-oriented: all gathers are 1D (a [N,2] gather
+            # relayouts on TPU — lane dim 2 of 128).
             from .ops import dense as denseops
-            dens, f_pressure, f_viscosity, _ = denseops.dense_neighbor_forces(
-                pred_s, vel_s, binning.sorted_cells, settings, params,
+            # ONE wide row gather applies the sort permutation to all six
+            # columns at once (gather cost ~ index count on TPU)
+            src = jnp.concatenate(
+                [pred, state.velocity, state.position], axis=1)  # [N, 6]
+            g6 = src[binning.perm]
+            pxs, pys = g6[:, 0], g6[:, 1]
+            vxs, vys = g6[:, 2], g6[:, 3]
+            dens, fpx, fpy, fvx, fvy, _ = denseops.dense_forces_cols(
+                pxs, pys, vxs, vys, binning.sorted_cells, settings, params,
                 norms, frame, pallas=(neighbor_mode == "pallas"),
             )
-            accel = f_pressure + f_viscosity
+            accel = jnp.stack([fpx + fvx, fpy + fvy], axis=-1)
+            pred_sc = g6[:, 0:2]
+            vel_sc = g6[:, 2:4]
+            pos_sc = g6[:, 4:6]
             ff = forcefield if has_force_field else None
             new_pos, new_vel = _integrate(
-                pos_s, vel_s, pred_s, dens, accel, params, settings, ff,
+                pos_sc, vel_sc, pred_sc, dens, accel, params, settings, ff,
                 x_boundary=x_boundary,
             )
             return ParticleState(
-                position=new_pos, predicted=pred_s, velocity=new_vel,
+                position=new_pos, predicted=pred_sc, velocity=new_vel,
                 density=dens, cell=binning.sorted_cells.astype(jnp.uint32),
                 tick=frame,
             )
+        pos_s = state.position[perm]
+        vel_s = state.velocity[perm]
+        pred_s = pred[perm]
         if neighbor_mode == "grid":
             win = gridops.neighbor_windows(
                 binning.sorted_cells, binning.cell_start, settings
