@@ -56,20 +56,30 @@ def _timeit(fn, state, params, *extra, warmup=3, iters=20):
     return dt / iters, state
 
 
-def bench_step(scene, warmup=3, iters=20, burst=10, **step_kw):
+def bench_step(scene, warmup=3, iters=20, burst=10, neighbor_mode="resident",
+               **step_kw):
     """Times an on-device lax.scan burst of ``burst`` steps (single host
     dispatch), so remote-tunnel dispatch latency doesn't pollute the
-    per-step number."""
-    from tpufluid import make_multi_step
+    per-step number. neighbor_mode 'resident' uses the grid-resident
+    engine (ops.resident)."""
+    n = scene.settings.particle_count
+    if neighbor_mode == "resident":
+        from tpufluid.ops import resident
 
-    run = make_multi_step(scene.settings, burst, **step_kw)
-    state = scene.init()
+        run = resident.make_grid_multi_step(scene.settings, burst)
+        state = resident.init_grid_state(scene.settings)
+    else:
+        from tpufluid import make_multi_step
+
+        run = make_multi_step(scene.settings, burst,
+                              neighbor_mode=neighbor_mode, **step_kw)
+        state = scene.init()
     sec, _ = _timeit(run, state, scene.params, warmup=warmup, iters=iters)
     sec /= burst
-    n = scene.settings.particle_count
     return dict(
         config=scene.name,
         particles=n,
+        mode=neighbor_mode,
         ms_per_step=sec * 1e3,
         particle_steps_per_sec=n / sec,
     )
@@ -161,7 +171,7 @@ def bench_sharded():
         size=(424.0, 424.0), cell_capacity=16,
     )
     spec = build_shard_spec(settings, d)
-    step = make_sharded_step(spec)
+    step = make_sharded_step(spec, neighbor_mode="dense")
     state = init_sharded(spec)
     params = TickParams.default()
 
@@ -180,8 +190,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="full ladder to stderr")
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--neighbor-mode", default="dense",
-                    choices=("grid", "dense", "pallas"))
+    ap.add_argument("--neighbor-mode", default="resident",
+                    choices=("grid", "dense", "pallas", "resident"))
     args = ap.parse_args()
 
     if args.all:
@@ -189,7 +199,7 @@ def main():
 
     from tpufluid import models
     r = bench_step(models.scene_1m(), warmup=1, iters=args.iters,
-                   neighbor_mode=args.neighbor_mode)
+                   burst=10, neighbor_mode=args.neighbor_mode)
     value = r["particle_steps_per_sec"]
     print(json.dumps(dict(
         metric="particle_steps_per_sec_1M",
