@@ -52,10 +52,22 @@ class FluidApp:
         self.params = params or TickParams.default()
         self.objects = objects if objects is not None else ff.Objects.empty()
         self._has_objects = self.objects.kind.shape[0] > 0
+        self._resident = step_kw.get("neighbor_mode") == "resident"
+        if self._resident:
+            if self._has_objects:
+                raise ValueError(
+                    "resident mode does not support obstacles yet; use "
+                    "neighbor_mode='dense'")
+            from .ops import resident as residentops
+            self._residentops = residentops
+            self._step = residentops.make_grid_step(settings)
+            self._grid_state = residentops.init_grid_state(settings)
+            step_kw = {}
+        else:
+            self._step = make_step(
+                settings, has_force_field=self._has_objects, **step_kw,
+            )
         self._step_kw = step_kw
-        self._step = make_step(
-            settings, has_force_field=self._has_objects, **step_kw,
-        )
         self.state = init_state(settings)
         self.sim_state = SimState.STOPPED
         self.accumulator = 0.0
@@ -84,6 +96,8 @@ class FluidApp:
 
     def restart(self) -> None:  # egui restart button (src/renderer.rs:873-875)
         self.state = init_state(self.settings)
+        if self._resident:
+            self._grid_state = self._residentops.init_grid_state(self.settings)
         self.accumulator = 0.0
 
     def set_mouse(self, pos=None, state: Optional[int] = None) -> None:
@@ -108,12 +122,35 @@ class FluidApp:
 
     # ------------------------------------------------------------------ tick
 
+    @property
+    def state(self):
+        """ParticleState view; materialized lazily from the grid in
+        resident mode (conversion costs a sort — only pay on access)."""
+        if self._resident and self._state_dirty:
+            self._state, _ = self._residentops.to_particles(
+                self._grid_state, self.settings)
+            self._state_dirty = False
+        return self._state
+
+    @state.setter
+    def state(self, value):
+        self._state = value
+        self._state_dirty = False
+        if self._resident:
+            self._grid_state = self._residentops.from_particles(
+                value, self.settings)
+
     def tick(self) -> None:
+        if self._resident:
+            self._grid_state = self._step(self._grid_state, self.params)
+            self._state_dirty = True
+            self.timer.lap(self._grid_state)
+            return
         if self._has_objects:
             self.state = self._step(self.state, self.params, self._forcefield)
         else:
             self.state = self._step(self.state, self.params)
-        self.timer.lap(self.state)
+        self.timer.lap(self._state)
 
     def advance(self, wall_dt: float) -> int:
         """Fixed-timestep accumulator: run as many ticks as wall time owes,
@@ -178,6 +215,25 @@ class FluidApp:
                 progress(i)
         self.sim_state = SimState.STOPPED
         return paths
+
+    # -------------------------------------------------------------- metrics
+
+    def metrics(self) -> dict:
+        """Numeric observability snapshot (the reference exports none —
+        SURVEY.md section 5): tick, steps/s, drop counters, health."""
+        from .utils.profiling import health_check
+        out = dict(
+            tick=int(self.state.tick),
+            sim_state=self.sim_state.value,
+            steps_per_sec=self.timer.last_rate,
+            particle_steps_per_sec=(
+                self.timer.last_rate * self.settings.particle_count),
+            dropped_frames=self.dropped_frames,
+        )
+        if self._resident:
+            out["lost_particles"] = int(self._grid_state.lost)
+        out.update(health_check(self.state, self.settings))
+        return out
 
     # ------------------------------------------------------------ checkpoint
 

@@ -28,9 +28,10 @@ def _add_common(p):
     p.add_argument("--viscosity", type=float, default=25.0)
     p.add_argument("--surface-tension", action="store_true")
     p.add_argument("--neighbor-mode",
-                   choices=("grid", "dense", "pallas", "naive"),
+                   choices=("resident", "grid", "dense", "pallas", "naive"),
                    default="dense",
-                   help="neighbor search backend (dense = TPU-fast rolls)")
+                   help="engine: resident = grid-resident (fastest, no "
+                        "obstacles yet), dense = TPU rolls, grid = windowed")
     p.add_argument("--x-boundary", choices=("bounce", "wrap"),
                    default="bounce")
     p.add_argument("--adaptive-subsampling", action="store_true",
@@ -114,6 +115,10 @@ def main(argv=None):
         return 0
 
     if args.cmd == "bench":
+        import os
+        import sys as _sys
+        _sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
         from bench import run_configs  # repo-root bench harness
         run_configs(args.config)
         return 0
