@@ -111,7 +111,7 @@ def bench_render(scene, width=1920, height=1080, warmup=2, iters=5):
     return (time.perf_counter() - t0) / iters * 1e3  # ms/frame
 
 
-def run_configs(which=None, out=sys.stdout, mode="dense"):
+def run_configs(which=None, out=sys.stdout, mode="resident"):
     """The BASELINE.json ladder. which: config number 1-5 or None for all
     feasible on this host."""
     import jax
@@ -122,16 +122,20 @@ def run_configs(which=None, out=sys.stdout, mode="dense"):
     def wants(i):
         return which is None or which == i
 
+    def record(key, value):
+        results[key] = value
+        print(json.dumps({key: value}, default=float), file=out, flush=True)
+
     if wants(1):
-        results["config1_4k"] = bench_step(models.dam_break_4k(),
-                                           neighbor_mode=mode)
+        record("config1_4k", bench_step(models.dam_break_4k(),
+                                        neighbor_mode=mode))
     if wants(2):
-        results["config2_64k"] = bench_step(models.scene_64k(),
-                                            neighbor_mode=mode)
+        record("config2_64k", bench_step(models.scene_64k(),
+                                         neighbor_mode=mode))
     if wants(3):
         r = bench_step(models.scene_256k(), neighbor_mode=mode)
         r["render_ms_per_frame_1080p"] = bench_render(models.scene_256k())
-        results["config3_256k"] = r
+        record("config3_256k", r)
     if wants(4):
         r = bench_step(models.scene_1m(), neighbor_mode=mode)
         # vmap batch of 8 scenes with differing gravity/viscosity
@@ -139,21 +143,23 @@ def run_configs(which=None, out=sys.stdout, mode="dense"):
         scene = models.scene_1m()
         gravities = [(0.0, -g) for g in np.linspace(0.0, 9.8, 8)]
         viscosities = list(np.linspace(5.0, 40.0, 8))
+        # vmap composes with the XLA dense path (Pallas SMEM scalars don't
+        # batch); resident has its own state type
         bstate, bparams, bstep = models.batch_scenes(
-            scene, gravities, viscosities, neighbor_mode=mode)
+            scene, gravities, viscosities,
+            neighbor_mode="dense" if mode in ("resident", "pallas") else mode)
         sec, _ = _timeit(bstep, bstate, bparams, warmup=1, iters=3)
         r["vmap8_ms_per_step"] = sec * 1e3
         r["vmap8_particle_steps_per_sec"] = (
             8 * scene.settings.particle_count / sec)
-        results["config4_1m"] = r
+        record("config4_1m", r)
     if wants(5):
         if jax.device_count() >= 2:
-            results["config5_sharded"] = bench_sharded()
+            record("config5_sharded", bench_sharded())
         else:
-            results["config5_sharded"] = dict(
-                skipped=f"needs multi-device, have {jax.device_count()}")
+            record("config5_sharded", dict(
+                skipped=f"needs multi-device, have {jax.device_count()}"))
 
-    print(json.dumps(results, indent=2, default=float), file=out)
     return results
 
 

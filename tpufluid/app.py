@@ -108,6 +108,42 @@ class FluidApp:
         if state is not None:
             self.params.mouse_state = jnp.asarray(state, jnp.int32)
 
+    def set_video_field(self, frames) -> None:
+        """Drive the obstacle force field from grayscale frames
+        (completes reference component 2.15 — its upload path was left
+        commented out, src/main.rs:120-126). frames: u8[T, H, W]; each
+        rendered frame in render_sequence consumes one video frame;
+        ``tick`` uses the current one. Dark pixels (<=128) are obstacles."""
+        import numpy as np
+        from .native import distfield
+        from .utils import io as ioutils
+
+        frames = np.asarray(frames)
+        if frames.ndim != 3:
+            raise ValueError(f"expected u8[T, H, W], got {frames.shape}")
+        th, tw = frames.shape[1:]
+        if (tw, th) != tuple(self.settings.texture_size):
+            raise ValueError(
+                f"frame size {(tw, th)} != texture_size "
+                f"{self.settings.texture_size}")
+        if self._resident:
+            raise ValueError("resident mode does not support force fields")
+        import jax.numpy as jnp
+        self._video_fields = [
+            jnp.asarray(distfield.chamfer_push_field(f)) for f in frames
+        ]
+        self._video_index = 0
+        self._has_objects = True
+        self._step = make_step(self.settings, has_force_field=True,
+                               **self._step_kw)
+        self._forcefield = self._video_fields[0]
+
+    def advance_video_frame(self) -> None:
+        if getattr(self, "_video_fields", None):
+            self._video_index = (
+                (self._video_index + 1) % len(self._video_fields))
+            self._forcefield = self._video_fields[self._video_index]
+
     def set_objects(self, objects: ff.Objects) -> None:
         """Replace the obstacle set and recompute the force field on device."""
         self.objects = objects
@@ -205,6 +241,7 @@ class FluidApp:
         self.sim_state = SimState.RENDER
         paths = []
         for i in range(frames):
+            self.advance_video_frame()  # one video frame per output frame
             for _ in range(self.TICKS_PER_RENDER_FRAME):
                 self.tick()
             frame = self.render_frame(width, height, mode=mode)

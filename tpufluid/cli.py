@@ -19,6 +19,8 @@ def _add_common(p):
                    help="smoothing radius h")
     p.add_argument("--size", type=float, nargs=2, default=(53.0, 53.0))
     p.add_argument("--cell-capacity", type=int, default=16)
+    p.add_argument("--texture-size", type=int, nargs=2, default=(1024, 1024),
+                   help="obstacle force-field resolution (W H)")
     p.add_argument("--dt", type=float, default=1.0 / 120.0)
     p.add_argument("--gravity", type=float, nargs=2, default=(0.0, 0.0))
     p.add_argument("--mass", type=float, default=1.0)
@@ -45,6 +47,9 @@ def _add_common(p):
     p.add_argument("--rect", type=float, nargs=5, action="append",
                    default=[], metavar=("X", "Y", "W", "H", "ROT"),
                    help="add a rotated rect obstacle (repeatable)")
+    p.add_argument("--video-field", type=str, default=None,
+                   help="grayscale frames (.npy/.npz or any ffmpeg input) "
+                        "driving the obstacle force field; dark = obstacle")
 
 
 def _build_app(args):
@@ -56,6 +61,7 @@ def _build_app(args):
         particle_count=args.particles, particle_spacing=args.spacing,
         smoothing_radius=args.radius, size=tuple(args.size),
         cell_capacity=args.cell_capacity,
+        texture_size=tuple(args.texture_size),
     )
     params = TickParams.default(
         delta=args.dt, gravity=tuple(args.gravity), mass=args.mass,
@@ -72,6 +78,9 @@ def _build_app(args):
                    surface_tension=args.surface_tension,
                    adaptive_subsampling=args.adaptive_subsampling,
                    neighbor_mode=mode, x_boundary=args.x_boundary)
+    if args.video_field:
+        from .utils import io as ioutils
+        app.set_video_field(ioutils.load_gray_frames(args.video_field))
     if args.checkpoint:
         import os
         if os.path.exists(args.checkpoint):

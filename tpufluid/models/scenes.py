@@ -46,7 +46,7 @@ def dam_break_4k() -> Scene:
         name="dam-break-4k",
         settings=SimSettings(
             particle_count=4096, particle_spacing=0.1, smoothing_radius=0.2,
-            size=(16.0, 16.0), cell_capacity=16,
+            size=(16.0, 16.0), cell_capacity=32,
         ),
         params=TickParams.default(gravity=(0.0, -9.8)),
     )

@@ -144,5 +144,6 @@ def rebin(pos_x, pos_y, vel_x, vel_y, valid_f, dt, settings, gx_pad):
             jax.ShapeDtypeStruct((gy, k, gx), jnp.float32) for _ in range(6)
         ),
         interpret=_interpret(),
+        name="sph_rebin",
     )(dt_arr, *fields, *fields, *fields)
     return outs

@@ -116,6 +116,7 @@ def density(grid, mass, h):
         out_specs=_out_spec(k, gx),
         out_shape=jax.ShapeDtypeStruct((gy, k, gx), jnp.float32),
         interpret=_interpret(),
+        name="sph_density",
     )(sc, grid.px, grid.py, vf, grid.px, grid.py, vf, grid.px, grid.py, vf)
 
 
@@ -268,4 +269,5 @@ def forces(grid, dens_g, params, h, sqr_radius, spiky_norm, visc_norm, frame):
             jax.ShapeDtypeStruct((gy, k, gx), jnp.float32) for _ in range(4)
         ),
         interpret=_interpret(),
+        name="sph_forces",
     )(sc, fr, *fields, *fields, *fields)

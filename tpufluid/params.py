@@ -43,12 +43,20 @@ class SimSettings:
     size: Tuple[float, float] = (53.0, 53.0)
     # Obstacle force-field texture resolution (src/renderer.rs:16).
     texture_size: Tuple[int, int] = (1024, 1024)
-    # TPU-specific: max particles per grid cell the neighbor gather can see.
-    # The WGSL kernels walk unbounded per-cell runs (compute.wgsl:182-229);
-    # on TPU shapes are static, so each 3x3-cell neighbor window is a fixed
-    # `3 * 3 * cell_capacity` slice of the sorted particle array. Overflowing
-    # particles are deterministically dropped from neighbor sums (never from
-    # the simulation itself).
+    # TPU-specific: max particles per grid cell the neighbor machinery can
+    # see. The WGSL kernels walk unbounded per-cell runs
+    # (compute.wgsl:182-229); on TPU shapes are static, so per-cell work is
+    # bounded by this capacity. Overflow degrades deterministically
+    # (dropped neighbor contributions; dropped particles in resident mode,
+    # counted in GridState.lost) and is flagged by
+    # utils.profiling.health_check.
+    #
+    # Sizing: rest occupancy at reference defaults is 4/cell (spacing 0.1,
+    # h 0.2); measured true compression in a g=-9.8 dam-break at k=50 is
+    # ~28/cell, and UNDERSIZING feeds back (overflowed particles stop
+    # contributing pressure -> deeper piling). Use 8 for zero-gravity
+    # scenes, >=32 for gravity/dam-break scenes. Cost scales ~capacity^2
+    # in the stencil kernels.
     cell_capacity: int = 16
 
     def __post_init__(self):
