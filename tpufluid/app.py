@@ -17,11 +17,10 @@ import os
 import time
 from typing import Callable, Optional
 
-import jax
 import numpy as np
 
 from .params import SimSettings, TickParams
-from .state import ParticleState, init_state
+from .state import init_state
 from .step import make_step
 from .ops import forcefield as ff
 from .ops import render as renderops

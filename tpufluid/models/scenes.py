@@ -8,7 +8,6 @@ benchmark ladder (4k oracle scene -> 64k -> 256k -> 1M -> 4M sharded).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

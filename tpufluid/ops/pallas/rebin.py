@@ -24,7 +24,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from .sph import _interpret, _roll_x, _row_specs, _out_spec, _scalar_spec
 

@@ -20,7 +20,6 @@ pixel loop is chunked with ``lax.map`` to bound the gather working set.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Tuple
 
 import jax

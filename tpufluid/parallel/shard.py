@@ -30,7 +30,6 @@ one-step-late migrations).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -22,7 +22,6 @@ neighbors in ascending sorted order, their f32 sums are bitwise identical
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
