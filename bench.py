@@ -138,19 +138,29 @@ def run_configs(which=None, out=sys.stdout, mode="resident"):
         record("config3_256k", r)
     if wants(4):
         r = bench_step(models.scene_1m(), neighbor_mode=mode)
-        # vmap batch of 8 scenes with differing gravity/viscosity
+        # vmap batch: 8 independent 128k scenes (1M particles total) with
+        # differing gravity/viscosity
         import numpy as np
-        scene = models.scene_1m()
-        gravities = [(0.0, -g) for g in np.linspace(0.0, 9.8, 8)]
+        from tpufluid import SimSettings
+        from tpufluid.models import Scene
+        from tpufluid.params import TickParams
+        scene = Scene(
+            name="sph-128k-batch",
+            settings=SimSettings(
+                particle_count=131072, particle_spacing=0.1,
+                smoothing_radius=0.2, size=(38.0, 38.0), cell_capacity=8),
+            params=TickParams.default(),
+        )
+        gravities = [(0.0, -g) for g in np.linspace(0.0, 2.0, 8)]
         viscosities = list(np.linspace(5.0, 40.0, 8))
         # vmap composes with the XLA dense path (Pallas SMEM scalars don't
         # batch); resident has its own state type
         bstate, bparams, bstep = models.batch_scenes(
             scene, gravities, viscosities,
             neighbor_mode="dense" if mode in ("resident", "pallas") else mode)
-        sec, _ = _timeit(bstep, bstate, bparams, warmup=1, iters=3)
-        r["vmap8_ms_per_step"] = sec * 1e3
-        r["vmap8_particle_steps_per_sec"] = (
+        sec, _ = _timeit(bstep, bstate, bparams, warmup=2, iters=5)
+        r["vmap8x128k_ms_per_step"] = sec * 1e3
+        r["vmap8x128k_particle_steps_per_sec"] = (
             8 * scene.settings.particle_count / sec)
         record("config4_1m", r)
     if wants(5):

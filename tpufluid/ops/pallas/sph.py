@@ -173,6 +173,8 @@ def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm,
     gy_ = jnp.zeros_like(px0)
     coinc_count = jnp.zeros(px0.shape, jnp.uint32)
 
+    v0_live = v0 > 0.0  # hoisted: invariant across the candidate loops
+
     for row in range(3):
         px_r, py_r, vx_r, vy_r, v_r, d_r = (r[0] for r in rows[row])
         for dx in (-1, 0, 1):
@@ -189,14 +191,15 @@ def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm,
                 ddy = ny[kp:kp + 1, :] - py0
                 r2 = ddx * ddx + ddy * ddy
                 dst = jnp.sqrt(r2)
-                ok = (nv[kp:kp + 1, :] > 0.0) & (v0 > 0.0)
+                ok = (nv[kp:kp + 1, :] > 0.0) & v0_live
                 if is_center:
                     ok = ok & (k_self != kp)
                 in_range = ok & (r2 <= sqr_radius)
 
                 safe = jnp.where(dst == 0.0, 1.0, dst)
-                dirx = ddx / safe
-                diry = ddy / safe
+                inv_dst = 1.0 / safe
+                dirx = ddx * inv_dst
+                diry = ddy * inv_dst
 
                 # coincident-pair random direction (compute.wgsl:211-215)
                 coincident = in_range & (dst == 0.0)
@@ -220,10 +223,10 @@ def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm,
                 p_nb = k_pressure * (ndk - rest_density)
                 shared_p = (p_self + p_nb) * 0.5
                 kern_p = jnp.where(dst <= h, -(h - dst) * spiky_norm, 0.0)
-                safe_rho = jnp.where(ndk == 0.0, 1.0, ndk)
-                scale_p = kern_p * shared_p / safe_rho
-                fx = fx + jnp.where(in_range, dirx * scale_p, 0.0)
-                fy = fy + jnp.where(in_range, diry * scale_p, 0.0)
+                inv_rho = 1.0 / jnp.where(ndk == 0.0, 1.0, ndk)
+                wp = jnp.where(in_range, kern_p * shared_p * inv_rho, 0.0)
+                fx = fx + dirx * wp
+                fy = fy + diry * wp
 
                 # viscosity kernel (funcs.wgsl:112-123)
                 kv = visc_norm * (
@@ -231,11 +234,9 @@ def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm,
                     + h / (2.0 * safe) - 1.0)
                 kv = jnp.where(dst == 0.0, visc_norm, kv)
                 kv = jnp.where(dst <= h, kv, 0.0)
-                scale_v = kv / safe_rho
-                gx_ = gx_ + jnp.where(
-                    in_range, (nvx[kp:kp + 1, :] - vx0) * scale_v, 0.0)
-                gy_ = gy_ + jnp.where(
-                    in_range, (nvy[kp:kp + 1, :] - vy0) * scale_v, 0.0)
+                wv = jnp.where(in_range, kv * inv_rho, 0.0)
+                gx_ = gx_ + (nvx[kp:kp + 1, :] - vx0) * wv
+                gy_ = gy_ + (nvy[kp:kp + 1, :] - vy0) * wv
 
     fx_ref[0] = fx
     fy_ref[0] = fy
