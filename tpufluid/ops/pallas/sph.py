@@ -158,6 +158,9 @@ def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm,
     mu = sc_ref[2]
     frame = frame_ref[0]
     h3 = h * h2
+    _c_neg_inv_2h3 = -1.0 / (2.0 * h3)
+    _c_inv_h2 = 1.0 / h2
+    _c_half_h = h / 2.0
 
     p_self = k_pressure * (d0 - rest_density)
     # position-hash tie-break seed (contract in ops.prng.position_seed)
@@ -201,7 +204,11 @@ def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm,
                 dirx = ddx * inv_dst
                 diry = ddy * inv_dst
 
-                # coincident-pair random direction (compute.wgsl:211-215)
+                # coincident-pair random direction (compute.wgsl:211-215).
+                # NOTE: an any(coincident)-guarded lax.cond around this
+                # block measured SLOWER (11.9 vs 8.6 ms/step at 1M) —
+                # Mosaic per-iteration branches cost more than the ~20
+                # vector ops they skip. Keep it straight-line.
                 coincident = in_range & (dst == 0.0)
                 eff = seed_self + coinc_count * jnp.uint32(2654435761)
                 if is_center:
@@ -228,10 +235,12 @@ def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm,
                 fx = fx + dirx * wp
                 fy = fy + diry * wp
 
-                # viscosity kernel (funcs.wgsl:112-123)
+                # viscosity kernel (funcs.wgsl:112-123), division-free via
+                # the shared reciprocal (r2 == safe^2 except at dst==0,
+                # where the value is overwritten anyway)
                 kv = visc_norm * (
-                    -(safe * safe * safe) / (2.0 * h3) + (safe * safe) / h2
-                    + h / (2.0 * safe) - 1.0)
+                    r2 * safe * _c_neg_inv_2h3 + r2 * _c_inv_h2
+                    + inv_dst * _c_half_h - 1.0)
                 kv = jnp.where(dst == 0.0, visc_norm, kv)
                 kv = jnp.where(dst <= h, kv, 0.0)
                 wv = jnp.where(in_range, kv * inv_rho, 0.0)

@@ -59,6 +59,32 @@ def load_checkpoint(path: str) -> ParticleState:
         )
 
 
+def save_checkpoint_orbax(path: str, state: ParticleState) -> None:
+    """Orbax-backed checkpoint (async-capable, multi-host-aware) — the
+    production alternative to the npz path."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), dataclasses_to_dict(state))
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path: str) -> ParticleState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    data = ckptr.restore(os.path.abspath(path))
+    return ParticleState(**{k: jnp.asarray(v) for k, v in data.items()})
+
+
+def dataclasses_to_dict(state: ParticleState) -> dict:
+    return {
+        "position": state.position, "predicted": state.predicted,
+        "velocity": state.velocity, "density": state.density,
+        "cell": state.cell, "tick": state.tick,
+    }
+
+
 # ---------------------------------------------------------------- PNG export
 
 def _native_png():
