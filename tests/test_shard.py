@@ -55,6 +55,26 @@ def test_init_preserves_all_particles(eight_devices):
     )
 
 
+def test_sharded_dense_matches_single_chip_dense(eight_devices):
+    """The slab-local dense grids must reproduce single-chip dense physics
+    (same summation order => near-bitwise)."""
+    s = shard_settings()
+    spec = build_shard_spec(s, 8)
+    params = TickParams.default(gravity=(0.0, -9.8))
+    sh_state = init_sharded(spec)
+    sh_step = make_sharded_step(spec, neighbor_mode="dense")
+    single_state = init_state(s)
+    single_step = make_step(s, neighbor_mode="dense")
+    for i in range(4):
+        sh_state, stats = sh_step(sh_state, params)
+        single_state = single_step(single_state, params)
+    assert int(np.asarray(stats["n_valid"]).sum()) == s.particle_count
+    np.testing.assert_allclose(
+        sorted_points(gather_state(sh_state).position),
+        sorted_points(single_state.position), atol=1e-6,
+    )
+
+
 def test_sharded_matches_single_chip(eight_devices):
     s = shard_settings()
     spec = build_shard_spec(s, 8)
