@@ -193,7 +193,8 @@ def force_pass(grid: DenseGrid, dens_g, params: TickParams, h, sqr_radius,
 
             coincident = in_range & (dst == 0.0)
             eff_seed = (seed_self
-                        + coinc_count * jnp.uint32(2654435761))
+                        + jnp.minimum(coinc_count, jnp.uint32(1))
+                        * jnp.uint32(2654435761))
             if is_center:
                 salt = jnp.where(kp < k_self, jnp.uint32(0x27220A95),
                                  jnp.uint32(0))

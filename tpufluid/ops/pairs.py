@@ -68,12 +68,14 @@ def pressure_force(
     # position hash rather than the post-sort array index (shard-invariant;
     # see prng.position_seed), each pair member salts by the pair ORDER
     # (i<j vs i>j) so both duplicates separate rather than co-move, and
-    # multiple coincidences salt by draw ordinal instead of threading one
-    # mutable chain through the loop.
+    # multiple coincidences salt by draw ordinal CLAMPED AT 1 instead of
+    # threading one mutable chain through the loop (the clamp lets the
+    # Pallas kernels precompute a 4-entry direction table; a 3rd+ particle
+    # stacked at the exact same position reuses ordinal 1's direction).
     coincident = active & (dst == 0.0)
     flat = coincident.reshape(coincident.shape[:point.ndim - 1] + (-1,))
     order = (jnp.cumsum(flat.astype(jnp.uint32), axis=-1) - flat.astype(jnp.uint32))
-    order = order.reshape(coincident.shape)
+    order = jnp.minimum(order.reshape(coincident.shape), jnp.uint32(1))
     seed = rand_seed[..., None].astype(jnp.uint32)
     eff_seed = seed + order * jnp.uint32(2654435761)
     eff_seed = eff_seed + jnp.where(

@@ -170,6 +170,24 @@ def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm,
     seed_self = seed_self + frame * jnp.uint32(69)
     k_self = jax.lax.broadcasted_iota(jnp.int32, px0.shape, 0)
 
+    # Tie-break direction table, computed ONCE per program: the in-loop
+    # PRNG chain measured 25% of the whole step (2.2 ms at 1M). Draw
+    # ordinals are clamped at 1 (see ops.pairs for the shared contract), so
+    # four variants cover every (pair-order salt, ordinal) combination.
+    tie_dirs = {}
+    for s_salt in (0, 1):
+        for c_ord in (0, 1):
+            eff = (seed_self
+                   + jnp.uint32(c_ord) * jnp.uint32(2654435761)
+                   + jnp.uint32(s_salt) * jnp.uint32(0x27220A95))
+            s1 = _xorshift32(eff)
+            s2 = _xorshift32(s1)
+            rx = _u01(s1)
+            ry = _u01(s2)
+            rn = jnp.sqrt(rx * rx + ry * ry)
+            rn = jnp.where(rn == 0.0, 1.0, rn)
+            tie_dirs[(s_salt, c_ord)] = (rx / rn, ry / rn)
+
     fx = jnp.zeros_like(px0)
     fy = jnp.zeros_like(px0)
     gx_ = jnp.zeros_like(px0)
@@ -204,26 +222,34 @@ def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm,
                 dirx = ddx * inv_dst
                 diry = ddy * inv_dst
 
-                # coincident-pair random direction (compute.wgsl:211-215).
-                # NOTE: an any(coincident)-guarded lax.cond around this
-                # block measured SLOWER (11.9 vs 8.6 ms/step at 1M) —
-                # Mosaic per-iteration branches cost more than the ~20
-                # vector ops they skip. Keep it straight-line.
+                # coincident-pair random direction (compute.wgsl:211-215)
+                # via the precomputed table. (An any()-guarded lax.cond
+                # here measured SLOWER — Mosaic per-iteration branches
+                # cost more than the ops they skip.)
                 coincident = in_range & (dst == 0.0)
-                eff = seed_self + coinc_count * jnp.uint32(2654435761)
+                has_prior = coinc_count >= jnp.uint32(1)
                 if is_center:
-                    eff = eff + jnp.where(
-                        kp < k_self, jnp.uint32(0x27220A95), jnp.uint32(0))
-                elif before:
-                    eff = eff + jnp.uint32(0x27220A95)
-                s1 = _xorshift32(eff)
-                s2 = _xorshift32(s1)
-                rx = _u01(s1)
-                ry = _u01(s2)
-                rn = jnp.sqrt(rx * rx + ry * ry)
-                rn = jnp.where(rn == 0.0, 1.0, rn)
-                dirx = jnp.where(coincident, rx / rn, dirx)
-                diry = jnp.where(coincident, ry / rn, diry)
+                    salted = kp < k_self
+                    tx = jnp.where(
+                        salted,
+                        jnp.where(has_prior, tie_dirs[(1, 1)][0],
+                                  tie_dirs[(1, 0)][0]),
+                        jnp.where(has_prior, tie_dirs[(0, 1)][0],
+                                  tie_dirs[(0, 0)][0]))
+                    ty = jnp.where(
+                        salted,
+                        jnp.where(has_prior, tie_dirs[(1, 1)][1],
+                                  tie_dirs[(1, 0)][1]),
+                        jnp.where(has_prior, tie_dirs[(0, 1)][1],
+                                  tie_dirs[(0, 0)][1]))
+                else:
+                    s_salt = 1 if before else 0
+                    tx = jnp.where(has_prior, tie_dirs[(s_salt, 1)][0],
+                                   tie_dirs[(s_salt, 0)][0])
+                    ty = jnp.where(has_prior, tie_dirs[(s_salt, 1)][1],
+                                   tie_dirs[(s_salt, 0)][1])
+                dirx = jnp.where(coincident, tx, dirx)
+                diry = jnp.where(coincident, ty, diry)
                 coinc_count = coinc_count + coincident.astype(jnp.uint32)
 
                 ndk = nd[kp:kp + 1, :]
