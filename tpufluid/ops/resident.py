@@ -111,8 +111,17 @@ def to_particles(gs: GridState, settings: SimSettings) -> Tuple[ParticleState, j
     ), live
 
 
-def make_grid_step(settings: SimSettings, far_capacity: int = 4096):
-    """Jitted resident step: GridState x TickParams -> GridState."""
+def make_grid_step(settings: SimSettings, far_capacity: int | None = None):
+    """Jitted resident step: GridState x TickParams -> GridState.
+
+    CAPACITY SIZING MATTERS under gravity: the EOS p = k*rho makes a fluid
+    column of height H compress ~exp(g*H/k) at the floor; cell_capacity
+    must cover rest_occupancy * that factor or mass is shed (counted in
+    GridState.lost — a 10k-step soak at 1M with g=2, H~100, k=50 lost 99%
+    at capacity 8; the same scene at g=0 loses nothing). See ROADMAP.md for
+    the occupancy-packing plan that removes the capacity^2 cost of simply
+    raising K.
+    """
     from ..step import _integrate
 
     norms = settings.kernel_norms()
@@ -120,6 +129,9 @@ def make_grid_step(settings: SimSettings, far_capacity: int = 4096):
     k = settings.cell_capacity
     gy = settings.grid_h
     grid_w = settings.grid_w
+    if far_capacity is None:
+        # impact phases can fling thousands of >1-cell movers in one step
+        far_capacity = max(4096, (gy * k * gxp) // 128)
 
     def far_fallback(args):
         px, py, vx, vy, vf, far_flat, pos4 = args
