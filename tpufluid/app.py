@@ -57,6 +57,15 @@ class FluidApp:
                 raise ValueError(
                     "resident mode does not support obstacles yet; use "
                     "neighbor_mode='dense'")
+            unsupported = {
+                k: v for k, v in step_kw.items()
+                if (k == "x_boundary" and v not in (None, "bounce"))
+                or (k in ("surface_tension", "adaptive_subsampling") and v)
+            }
+            if unsupported:
+                raise ValueError(
+                    f"resident mode does not support {sorted(unsupported)}; "
+                    f"use neighbor_mode='grid' for these variants")
             from .ops import resident as residentops
             self._residentops = residentops
             self._step = residentops.make_grid_step(settings)

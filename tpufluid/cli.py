@@ -72,8 +72,12 @@ def _build_app(args):
     objs += [("rect", (x, y), (w, h), rot) for x, y, w, h, rot in args.rect]
     objects = ff.Objects.from_list(objs) if objs else None
     mode = args.neighbor_mode
-    if args.surface_tension or args.adaptive_subsampling:
-        mode = "grid"  # these variants need the windowed path
+    if (args.surface_tension or args.adaptive_subsampling) and mode != "grid":
+        import sys
+        print(f"warning: --surface-tension/--adaptive-subsampling need the "
+              f"windowed path; overriding --neighbor-mode {mode} -> grid",
+              file=sys.stderr)
+        mode = "grid"
     app = FluidApp(settings, params, objects,
                    surface_tension=args.surface_tension,
                    adaptive_subsampling=args.adaptive_subsampling,

@@ -20,6 +20,9 @@ def write_rgba(path: str, rgba8: np.ndarray) -> None:
     if lib is None:
         raise RuntimeError("native library not built")
     rgba8 = np.ascontiguousarray(rgba8, dtype=np.uint8)
+    if rgba8.ndim != 3 or rgba8.shape[2] != 4 or not rgba8.size:
+        raise ValueError(
+            f"expected nonempty u8[H, W, 4] rgba array, got {rgba8.shape}")
     h, w = rgba8.shape[:2]
     rc = lib.png_write_rgba(
         path.encode(), rgba8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

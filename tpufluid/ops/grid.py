@@ -32,10 +32,20 @@ from ..params import SimSettings
 
 
 def cell_xy(point, settings: SimSettings):
-    """Integer (x, y) cell coords of world-space points [... , 2] -> i32 [... , 2]."""
+    """Integer (x, y) cell coords of world-space points [... , 2] -> i32 [... , 2].
+
+    Clamped to the interior [1, grid_dim-2]: when size/h divides exactly in
+    f32 (e.g. h=0.5, size=8.0), a wall-clamped particle at +size/2 would
+    otherwise land in floor(size/h)+1 == grid_dim-1 — the sentinel ring,
+    whose emptiness the stencil kernels' row-clamp/roll-wrap tricks rely on.
+    The clamp is also the physically right answer: the wall point belongs to
+    the last interior cell's closed upper edge.
+    """
     bounds = jnp.asarray(settings.size, jnp.float32)
     scaled = (point + bounds * 0.5) / jnp.float32(settings.smoothing_radius)
-    return jnp.floor(scaled).astype(jnp.int32) + 1
+    xy = jnp.floor(scaled).astype(jnp.int32) + 1
+    hi = jnp.asarray([settings.grid_w - 2, settings.grid_h - 2], jnp.int32)
+    return jnp.clip(xy, 1, hi)
 
 
 def cell_id(point, settings: SimSettings):

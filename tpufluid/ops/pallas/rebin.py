@@ -28,19 +28,26 @@ from jax.experimental import pallas as pl
 from .sph import _interpret, _roll_x, _row_specs, _out_spec, _scalar_spec
 
 
-def _cells_of(px, py, vx, vy, dt, h_inv, bx2, by2, half_x, half_y):
-    """Clamped prediction + integer cell coords, elementwise [K, Gx]."""
+def _cells_of(px, py, vx, vy, dt, h_inv, bx2, by2, half_x, half_y,
+              cx_max, cy_max):
+    """Clamped prediction + integer cell coords, elementwise [K, Gx].
+
+    Cell coords are clamped to the interior [1, grid_dim-2] — mirrors
+    ops.grid.cell_xy (sentinel ring must stay empty even when size/h
+    divides exactly in f32)."""
     prx = px + vx * dt
     pry = py + vy * dt
     prx = jnp.clip(prx, -half_x, half_x)
     pry = jnp.clip(pry, -half_y, half_y)
     ncx = jnp.floor((prx + bx2) * h_inv).astype(jnp.int32) + 1
     ncy = jnp.floor((pry + by2) * h_inv).astype(jnp.int32) + 1
+    ncx = jnp.clip(ncx, 1, cx_max)
+    ncy = jnp.clip(ncy, 1, cy_max)
     return ncx, ncy
 
 
 def _rebin_kernel(consts, dt_ref, *refs):
-    (h_inv, bx2, by2, half_x, half_y) = consts
+    (h_inv, bx2, by2, half_x, half_y, cx_max, cy_max) = consts
     # refs: 3 rows x (pos_x, pos_y, vel_x, vel_y, valid_f); outputs:
     # (pos_x', pos_y', vel_x', vel_y', valid_f', lost_f')
     opx, opy, ovx, ovy, oval, olost = refs[-6:]
@@ -64,7 +71,7 @@ def _rebin_kernel(consts, dt_ref, *refs):
         src_y = y + (r - 1)
         px_r, py_r, vx_r, vy_r, v_r = (ref[0] for ref in rows[r])
         ncx, ncy = _cells_of(px_r, py_r, vx_r, vy_r, dt, h_inv, bx2, by2,
-                             half_x, half_y)
+                             half_x, half_y, cx_max, cy_max)
         # rows 0/2 at the clamped borders duplicate row 1; suppress them
         # (traced scalar bool broadcasting over the masks)
         row_live = jnp.logical_and(src_y >= 0, src_y < gy)
@@ -130,6 +137,8 @@ def rebin(pos_x, pos_y, vel_x, vel_y, valid_f, dt, settings, gx_pad):
         float(settings.size[1]) * 0.5,
         float(settings.size[0]) * 0.5,
         float(settings.size[1]) * 0.5,
+        settings.grid_w - 2,
+        settings.grid_h - 2,
     )
     kernel = functools.partial(_rebin_kernel, consts)
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)

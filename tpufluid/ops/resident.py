@@ -187,8 +187,13 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None):
         prx = jnp.clip(gs.pos_x + gs.vel_x * dt, -half[0], half[0])
         pry = jnp.clip(gs.pos_y + gs.vel_y * dt, -half[1], half[1])
         h_inv = jnp.float32(1.0 / settings.smoothing_radius)
-        ncx = jnp.floor((prx + half[0]) * h_inv).astype(jnp.int32) + 1
-        ncy = jnp.floor((pry + half[1]) * h_inv).astype(jnp.int32) + 1
+        # interior clamp mirrors ops.grid.cell_xy / pallas.rebin._cells_of
+        ncx = jnp.clip(
+            jnp.floor((prx + half[0]) * h_inv).astype(jnp.int32) + 1,
+            1, grid_w - 2)
+        ncy = jnp.clip(
+            jnp.floor((pry + half[1]) * h_inv).astype(jnp.int32) + 1,
+            1, gy - 2)
         scx = jax.lax.broadcasted_iota(jnp.int32, gs.pos_x.shape, 2)
         scy = jax.lax.broadcasted_iota(jnp.int32, gs.pos_x.shape, 0)
         far = (gs.valid > 0.0) & (

@@ -61,7 +61,11 @@ def health_check(state, settings) -> dict:
 
     pos = np.asarray(state.position)
     vel = np.asarray(state.velocity)
-    binning = gridops.bin_particles(state.cell.astype(jnp.int32), settings)
+    # derive cells from predicted positions: state.cell is all-zeros on a
+    # fresh state (init_state never bins), which would spuriously report
+    # max_cell_occupancy == N before the first tick
+    cells = gridops.cell_id(state.predicted, settings)
+    binning = gridops.bin_particles(cells, settings)
     occ = int(gridops.max_cell_occupancy(binning.cell_start))
     half = np.asarray(settings.size) * 0.5
     return dict(
