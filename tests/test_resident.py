@@ -100,3 +100,81 @@ def test_multi_step_scan():
     assert int(live) == 128
     p = np.asarray(ps.position)[:128]
     assert np.all(np.isfinite(p)) and p[:, 1].mean() < 0.0
+
+
+def test_resident_obstacle_matches_dense_on_cell_aligned_field():
+    """Resident samples the force field per CELL; with a field that is
+    constant within each cell (texels aligned 2-per-cell), both engines see
+    identical values -> trajectories agree (compute.wgsl:127-140)."""
+    s = SimSettings(particle_count=64, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(6.4, 6.4), cell_capacity=8,
+                    texture_size=(64, 64))
+    # field: texels in the right half push left by (-3, 0) pixels,
+    # constant per 2x2-texel cell
+    ff = np.zeros((64, 64, 2), np.float32)
+    ff[:, 40:, 0] = -3.0
+    ff = jnp.asarray(ff)
+    params = TickParams.default(gravity=(2.0, 0.0))
+
+    gs = resident.init_grid_state(s)
+    gstep = resident.make_grid_step(s, has_force_field=True)
+    ref = init_state(s)
+    rstep = make_step(s, neighbor_mode="dense", has_force_field=True)
+    for _ in range(3):
+        gs = gstep(gs, params, ff)
+        ref = rstep(ref, params, ff)
+    assert int(gs.lost) == 0
+    ps, live = resident.to_particles(gs, s)
+    assert int(live) == 64
+    from scipy.spatial import cKDTree
+    d, _ = cKDTree(np.asarray(ref.position)).query(
+        np.asarray(ps.position)[:64])
+    assert d.max() < 1e-5
+
+
+def test_resident_obstacle_excludes_particles():
+    """Qualitative: a circle obstacle expels particles from its interior
+    (reference behavior of the push-out field, src/main.rs:495-511)."""
+    from tpufluid.ops import forcefield as ffops
+
+    s = SimSettings(particle_count=128, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(6.0, 6.0), cell_capacity=8,
+                    texture_size=(64, 64))
+    objects = ffops.Objects.from_list([("circle", (0.0, 0.0), 1.5)])
+    field = ffops.obstacle_force_field(objects, s)
+    gs = resident.init_grid_state(s)  # lattice overlaps the circle
+    step = resident.make_grid_step(s, has_force_field=True)
+    params = TickParams.default()
+    for _ in range(8):
+        gs = step(gs, params, field)
+    ps, live = resident.to_particles(gs, s)
+    p = np.asarray(ps.position)[: int(live)]
+    r = np.linalg.norm(p, axis=1)
+    # all particles pushed out (tolerance: one cell of sampling granularity)
+    assert np.all(r > 1.5 - 0.25)
+
+
+def test_resident_wrap_boundary():
+    """x_boundary='wrap' teleports across the x walls with velocity kept
+    (shaders/compute.wgsl:145-146)."""
+    s = settings(n=4)
+    pos = np.array([[2.95, 0.0], [-2.95, 0.5], [0.0, 1.0], [0.5, 1.5]],
+                   np.float32)
+    vel = np.array([[30.0, 0.0], [-30.0, 0.0], [0.0, 0.0], [0.0, 0.0]],
+                   np.float32)
+    state = ParticleState(
+        position=jnp.asarray(pos), predicted=jnp.asarray(pos),
+        velocity=jnp.asarray(vel), density=jnp.ones(4),
+        cell=jnp.zeros(4, jnp.uint32), tick=jnp.zeros((), jnp.uint32))
+    gs = resident.from_particles(state, s)
+    step = resident.make_grid_step(s, x_boundary="wrap")
+    params = TickParams.default(pressure_constant=0.0,
+                                viscosity_coefficient=0.0)
+    gs = step(gs, params)
+    ps, live = resident.to_particles(gs, s)
+    p = np.asarray(ps.position)[:4]
+    v = np.asarray(ps.velocity)[:4]
+    assert int(live) == 4
+    crossed = p[np.argsort(p[:, 1])][:2]  # the two movers, by y
+    assert crossed[0, 0] < 0.0 < crossed[1, 0]  # teleported to far wall
+    assert np.abs(v).max() == 30.0  # velocity untouched by the wrap

@@ -148,3 +148,94 @@ def test_two_device_mesh(eight_devices):
     for _ in range(3):
         st, stats = step(st, params)
     assert int(np.asarray(stats["n_valid"]).sum()) == 128
+
+
+# ---------------------------------------------------------------------
+# Resident-grid row-band sharding (the fast-engine multi-chip path)
+# ---------------------------------------------------------------------
+
+def test_resident_sharded_matches_single_chip(eight_devices):
+    """Row-band sharded resident step vs the single-chip resident engine:
+    same kernels, same packing order => bitwise-equal positions."""
+    from tpufluid.ops import resident
+    from tpufluid.parallel import (
+        build_resident_spec, gather_resident, init_sharded_resident,
+        make_resident_mesh, make_sharded_resident_step)
+
+    s = SimSettings(particle_count=512, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(8.0, 8.0), cell_capacity=8)
+    params = TickParams.default(gravity=(0.0, -9.8))
+    spec = build_resident_spec(s, 8)
+    mesh = make_resident_mesh(spec)
+    step = make_sharded_resident_step(spec, mesh=mesh)
+    gs = init_sharded_resident(spec, mesh=mesh)
+    ref = resident.init_grid_state(s)
+    rstep = resident.make_grid_step(s)
+    for _ in range(5):
+        gs, stats = step(gs, params)
+        ref = rstep(ref, params)
+    assert int(np.asarray(stats["n_valid"]).sum()) == 512
+    assert int(np.asarray(gs.lost)) == 0
+    ps, live = gather_resident(gs, spec)
+    pr, liver = resident.to_particles(ref, s)
+    assert int(live) == 512 and int(liver) == 512
+    np.testing.assert_array_equal(
+        sorted_points(np.asarray(ps.position)[:512]),
+        sorted_points(np.asarray(pr.position)[:512]))
+
+
+def test_resident_sharded_far_movers(eight_devices):
+    """Cross-band far movers ride the all_gather packet path and survive."""
+    from tpufluid.ops import resident
+    from tpufluid.parallel import (
+        build_resident_spec, gather_resident, init_sharded_resident,
+        make_resident_mesh, make_sharded_resident_step)
+    from tpufluid.state import ParticleState
+
+    s = SimSettings(particle_count=16, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(8.0, 8.0), cell_capacity=8)
+    pos = np.zeros((16, 2), np.float32)
+    pos[:, 0] = np.linspace(-3.5, 3.5, 16)
+    pos[:, 1] = -3.5
+    vel = np.zeros((16, 2), np.float32)
+    vel[0] = (0.0, 240.0)   # ~10 rows per step: crosses several bands
+    vel[1] = (120.0, 120.0)
+    state = ParticleState(
+        position=jnp.asarray(pos), predicted=jnp.asarray(pos),
+        velocity=jnp.asarray(vel), density=jnp.ones(16),
+        cell=jnp.zeros(16, jnp.uint32), tick=jnp.zeros((), jnp.uint32))
+
+    spec = build_resident_spec(s, 8)
+    mesh = make_resident_mesh(spec)
+    step = make_sharded_resident_step(spec, mesh=mesh)
+    gs0 = resident.from_particles(state, s)
+    # shard the single-chip grid state by row band
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    pad = spec.gy_pad - s.grid_h
+    from tpufluid.ops.pallas.fused import SENTINEL
+
+    def padrow(a, fill):
+        p = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+        return jnp.concatenate([a, p], axis=0)
+
+    shard = NamedSharding(mesh, P("x"))
+    rep = NamedSharding(mesh, P())
+    gs = resident.GridState(
+        pos_x=_jax.device_put(padrow(gs0.pos_x, SENTINEL), shard),
+        pos_y=_jax.device_put(padrow(gs0.pos_y, SENTINEL), shard),
+        vel_x=_jax.device_put(padrow(gs0.vel_x, 0.0), shard),
+        vel_y=_jax.device_put(padrow(gs0.vel_y, 0.0), shard),
+        occ_row=_jax.device_put(padrow(gs0.occ_row, 0), shard),
+        tick=_jax.device_put(gs0.tick, rep),
+        lost=_jax.device_put(gs0.lost, rep),
+    )
+    params = TickParams.default(pressure_constant=0.0,
+                                viscosity_coefficient=0.0)
+    for _ in range(3):
+        gs, stats = step(gs, params)
+    assert int(np.asarray(stats["n_valid"]).sum()) == 16
+    assert int(np.asarray(gs.lost)) == 0
+    ps, live = gather_resident(gs, spec)
+    assert int(live) == 16
+    assert np.all(np.isfinite(np.asarray(ps.position)[:16]))

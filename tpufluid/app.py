@@ -53,14 +53,9 @@ class FluidApp:
         self._has_objects = self.objects.kind.shape[0] > 0
         self._resident = step_kw.get("neighbor_mode") == "resident"
         if self._resident:
-            if self._has_objects:
-                raise ValueError(
-                    "resident mode does not support obstacles yet; use "
-                    "neighbor_mode='dense'")
             unsupported = {
                 k: v for k, v in step_kw.items()
-                if (k == "x_boundary" and v not in (None, "bounce"))
-                or (k in ("surface_tension", "adaptive_subsampling") and v)
+                if k in ("surface_tension", "adaptive_subsampling") and v
             }
             if unsupported:
                 raise ValueError(
@@ -68,7 +63,11 @@ class FluidApp:
                     f"use neighbor_mode='grid' for these variants")
             from .ops import resident as residentops
             self._residentops = residentops
-            self._step = residentops.make_grid_step(settings)
+            self._resident_kw = dict(
+                x_boundary=step_kw.get("x_boundary") or "bounce")
+            self._step = residentops.make_grid_step(
+                settings, has_force_field=self._has_objects,
+                **self._resident_kw)
             self._grid_state = residentops.init_grid_state(settings)
             step_kw = {}
         else:
@@ -134,16 +133,13 @@ class FluidApp:
             raise ValueError(
                 f"frame size {(tw, th)} != texture_size "
                 f"{self.settings.texture_size}")
-        if self._resident:
-            raise ValueError("resident mode does not support force fields")
         import jax.numpy as jnp
         self._video_fields = [
             jnp.asarray(distfield.chamfer_push_field(f)) for f in frames
         ]
         self._video_index = 0
         self._has_objects = True
-        self._step = make_step(self.settings, has_force_field=True,
-                               **self._step_kw)
+        self._rebuild_step(has_force_field=True)
         self._forcefield = self._video_fields[0]
 
     def advance_video_frame(self) -> None:
@@ -152,14 +148,23 @@ class FluidApp:
                 (self._video_index + 1) % len(self._video_fields))
             self._forcefield = self._video_fields[self._video_index]
 
+    def _rebuild_step(self, has_force_field: bool) -> None:
+        if self._resident:
+            self._step = self._residentops.make_grid_step(
+                self.settings, has_force_field=has_force_field,
+                **self._resident_kw)
+        else:
+            self._step = make_step(self.settings,
+                                   has_force_field=has_force_field,
+                                   **self._step_kw)
+
     def set_objects(self, objects: ff.Objects) -> None:
         """Replace the obstacle set and recompute the force field on device."""
         self.objects = objects
         has = objects.kind.shape[0] > 0
         if has != self._has_objects:
             self._has_objects = has
-            self._step = make_step(self.settings, has_force_field=has,
-                                   **self._step_kw)
+            self._rebuild_step(has_force_field=has)
         self._forcefield = (
             ff.obstacle_force_field(objects, self.settings) if has else None
         )
@@ -186,7 +191,11 @@ class FluidApp:
 
     def tick(self) -> None:
         if self._resident:
-            self._grid_state = self._step(self._grid_state, self.params)
+            if self._has_objects:
+                self._grid_state = self._step(
+                    self._grid_state, self.params, self._forcefield)
+            else:
+                self._grid_state = self._step(self._grid_state, self.params)
             self._state_dirty = True
             self.timer.lap(self._grid_state)
             return

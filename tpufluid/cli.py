@@ -32,8 +32,9 @@ def _add_common(p):
     p.add_argument("--neighbor-mode",
                    choices=("resident", "grid", "dense", "pallas", "naive"),
                    default="dense",
-                   help="engine: resident = grid-resident (fastest, no "
-                        "obstacles yet), dense = TPU rolls, grid = windowed")
+                   help="engine: resident = grid-resident (fastest; "
+                        "obstacles at cell granularity), dense = TPU "
+                        "rolls, grid = windowed")
     p.add_argument("--x-boundary", choices=("bounce", "wrap"),
                    default="bounce")
     p.add_argument("--adaptive-subsampling", action="store_true",

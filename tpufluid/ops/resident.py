@@ -2,64 +2,85 @@
 
 The [N]-array engine re-sorts, re-scatters and re-gathers the whole
 particle set every step; at 1M particles that data movement is >80% of the
-step (xprof). Here the state IS the dense slot grid [Gy, K, Gx]
-(ops.dense layout), and each step:
+step (xprof). Here the state IS the dense slot grid [Gy, K, Gxp]
+(K = cell_capacity, minor dim = grid x), and each step is three fused
+occupancy-aware Pallas kernels (ops.pallas.fused):
 
-  1. re-bins slots into their new cells with the Pallas rebin kernel
-     (ops.pallas.rebin) — local moves only, no sort/scatter/gather;
-  2. handles the rare far movers (> 1 cell/step) through an XLA fallback
+  1. rebin: slots move to their new cells (local moves only, no
+     sort/scatter/gather), emitting per-row occupancy/far/overflow scalars;
+  2. far movers (> 1 cell/step, rare) re-insert through an XLA fallback
      under ``lax.cond`` (costs nothing when there are none);
-  3. runs the fused Pallas density/force stencils (ops.pallas.sph);
-  4. integrates elementwise on the grid (same tpufluid.step._integrate).
+  3. density -> (pressure, 1/rho);
+  4. forces fused with the FULL integration (gravity, mouse impulse, NaN
+     reset, speed clamp, obstacle force field, boundary bounce/wrap) —
+     compute.wgsl:59-299 + 95-155 in two kernels, no elementwise passes.
+
+Empty slots hold position = fused.SENTINEL (no valid mask — exclusion
+falls out of the range test); ``occ_row`` carries per-row packed occupancy
+so kernel work tracks real occupancy instead of capacity^2 (ROADMAP
+round-1 lever, measured 1.78x at occupancy 4 / K 8).
 
 Semantics match the [N] engines: re-binning keys are the clamped predicted
-positions, neighbor sets are identical; within-cell packing order is
-(source row, dx, slot) instead of stable-sort order, so results agree to
-f32 reduction order (like dense vs grid mode).
+positions, neighbor sets are identical; candidate iteration order is
+(slot, row, dx) and within-cell packing order is (source row, dx, slot),
+so results agree to f32 reduction order (tests/test_resident.py).
 
 Capacity rules: arrivals beyond cell_capacity and far movers beyond
 ``far_capacity`` are dropped and COUNTED in ``GridState.lost`` — never
-silent. Keep cell_capacity at ~2x rest occupancy.
+silent. Keep cell_capacity at ~2x rest occupancy (params.SimSettings).
 
-Obstacle force fields are not yet supported in resident mode (per-slot
-texture gathers would reintroduce the cost this engine removes) — use
-neighbor_mode='dense' for obstacle scenes.
+Obstacle force fields are supported at CELL granularity: one push-out
+vector per grid cell (sampled at the cell center), vs the reference's
+per-particle texel fetch (compute.wgsl:127-132). At defaults a cell spans
+~2 texels, so the approximation error is sub-cell; use
+neighbor_mode='dense' when per-texel sampling matters.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..params import EPSILON, SimSettings, TickParams
+from ..params import SimSettings, TickParams
 from ..state import ParticleState, init_state
 from . import grid as gridops
-from .dense import DenseGrid, build_grid_cols
-from .pallas import rebin as prebin
-from .pallas import sph as psph
+from .dense import build_grid_cols
+from .pallas import fused
+from .pallas.fused import SENTINEL, SENTINEL_HALF
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class GridState:
-    """pos/vel/valid slot grids [Gy, K, Gxp] (valid: 0/1 f32), tick,
-    cumulative lost-particle counter."""
+    """pos/vel slot grids [Gy, K, Gxp] (empty slots at pos=SENTINEL),
+    per-row packed occupancy i32[Gy], tick, cumulative lost counter."""
 
     pos_x: jax.Array
     pos_y: jax.Array
     vel_x: jax.Array
     vel_y: jax.Array
-    valid: jax.Array
+    occ_row: jax.Array
     tick: jax.Array
     lost: jax.Array
 
 
 def _gxp(settings: SimSettings) -> int:
     return -(-settings.grid_w // 128) * 128
+
+
+def valid_mask(gs: GridState) -> jax.Array:
+    """bool[Gy, K, Gxp]: which slots hold a live particle."""
+    return gs.pos_x < SENTINEL_HALF
+
+
+def occ_row_of(pos_x: jax.Array) -> jax.Array:
+    """Per-row max packed occupancy, recomputed from a sentinel grid."""
+    occ_cell = jnp.sum((pos_x < SENTINEL_HALF).astype(jnp.int32), axis=1)
+    return jnp.max(occ_cell, axis=1)
 
 
 def from_particles(state: ParticleState, settings: SimSettings) -> GridState:
@@ -71,9 +92,11 @@ def from_particles(state: ParticleState, settings: SimSettings) -> GridState:
     grid = build_grid_cols(
         g4[:, 0], g4[:, 1], g4[:, 2], g4[:, 3], binning.sorted_cells,
         settings)
+    px = jnp.where(grid.valid, grid.px, SENTINEL)
+    py = jnp.where(grid.valid, grid.py, SENTINEL)
     return GridState(
-        pos_x=grid.px, pos_y=grid.py, vel_x=grid.vx, vel_y=grid.vy,
-        valid=grid.valid.astype(jnp.float32),
+        pos_x=px, pos_y=py, vel_x=grid.vx, vel_y=grid.vy,
+        occ_row=occ_row_of(px),
         tick=state.tick, lost=grid.n_dropped,
     )
 
@@ -93,7 +116,7 @@ def to_particles(gs: GridState, settings: SimSettings) -> Tuple[ParticleState, j
     cy = slot // (k * gxp)
     cx = slot % gxp
     cell = cy * settings.grid_w + cx
-    valid = gs.valid.reshape(-1) > 0.0
+    valid = valid_mask(gs).reshape(-1)
     key = jnp.where(valid, cell, jnp.int32(settings.num_cells + 1))
     _, perm = lax.sort_key_val(key, slot, is_stable=True)
     sel = perm[:n]
@@ -111,147 +134,180 @@ def to_particles(gs: GridState, settings: SimSettings) -> Tuple[ParticleState, j
     ), live
 
 
-def make_grid_step(settings: SimSettings, far_capacity: int | None = None):
-    """Jitted resident step: GridState x TickParams -> GridState.
+def forcefield_cells(forcefield: jax.Array, settings: SimSettings,
+                     gxp: Optional[int] = None, row_start=0,
+                     n_rows: Optional[int] = None):
+    """Sample the [H, W, 2] pixel push-out field at grid-cell centers.
+
+    Returns (ffx, ffy) f32[Gy, Gxp] PIXEL-space vectors (the kernel scales
+    the position push to world units and normalizes in pixel space, like
+    compute.wgsl:127-140). The sentinel ring and pad columns are zeroed.
+
+    ``row_start``/``n_rows``: global-row window for sharded slabs (may be
+    traced).
+    """
+    gy, gw = settings.grid_h, settings.grid_w
+    n_rows = n_rows if n_rows is not None else gy
+    gxp = gxp if gxp is not None else _gxp(settings)
+    h = settings.smoothing_radius
+    half = jnp.asarray(settings.size, jnp.float32) * 0.5
+    tex_w, tex_h = settings.texture_size
+    # world coords of cell centers; cell index c covers
+    # [(c-1)*h - half, c*h - half) (ops.grid.cell_xy inverse)
+    rows = row_start + jnp.arange(n_rows, dtype=jnp.int32)
+    wx = (jnp.arange(gxp, dtype=jnp.float32) - 0.5) * h - half[0]
+    wy = (rows.astype(jnp.float32) - 0.5) * h - half[1]
+    # texel per sample_force_field (step.py): uv = p/size + 0.5
+    tx = jnp.clip(((wx / (2.0 * half[0]) + 0.5) * tex_w).astype(jnp.int32),
+                  0, tex_w - 1)
+    ty = jnp.clip(((wy / (2.0 * half[1]) + 0.5) * tex_h).astype(jnp.int32),
+                  0, tex_h - 1)
+    f = forcefield[ty[:, None], tx[None, :]]  # [n_rows, Gxp, 2]
+    in_x = (jnp.arange(gxp) >= 1) & (jnp.arange(gxp) <= gw - 2)
+    in_y = (rows >= 1) & (rows <= gy - 2)
+    mask = (in_y[:, None] & in_x[None, :]).astype(jnp.float32)
+    return f[..., 0] * mask, f[..., 1] * mask
+
+
+def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
+                   x_boundary: str = "bounce",
+                   has_force_field: bool = False):
+    """Jitted resident step: ``step(gs, params[, forcefield]) -> GridState``.
 
     CAPACITY SIZING MATTERS under gravity: the EOS p = k*rho makes a fluid
     column of height H compress ~exp(g*H/k) at the floor; cell_capacity
     must cover rest_occupancy * that factor or mass is shed (counted in
-    GridState.lost — a 10k-step soak at 1M with g=2, H~100, k=50 lost 99%
-    at capacity 8; the same scene at g=0 loses nothing). See ROADMAP.md for
-    the occupancy-packing plan that removes the capacity^2 cost of simply
-    raising K.
+    GridState.lost). See SimSettings.cell_capacity guidance.
     """
-    from ..step import _integrate
-
-    norms = settings.kernel_norms()
+    if x_boundary not in ("bounce", "wrap"):
+        raise ValueError(f"unknown x_boundary {x_boundary!r}")
     gxp = _gxp(settings)
     k = settings.cell_capacity
     gy = settings.grid_h
     grid_w = settings.grid_w
+    h_inv = 1.0 / settings.smoothing_radius
     if far_capacity is None:
         # impact phases can fling thousands of >1-cell movers in one step
         far_capacity = max(4096, (gy * k * gxp) // 128)
 
-    def far_fallback(args):
-        px, py, vx, vy, vf, far_flat, pos4 = args
-        # pack up to far_capacity far movers and re-insert them
-        size = px.size
-        key = jnp.where(far_flat, 0, 1).astype(jnp.int32)
-        _, perm = lax.sort_key_val(
-            key, jnp.arange(size, dtype=jnp.int32), is_stable=True)
-        sel = perm[:far_capacity]
-        n_far = jnp.sum(far_flat.astype(jnp.int32))
-        ok = jnp.arange(far_capacity, dtype=jnp.int32) < n_far
-        rows = pos4[sel]  # (pos_x, pos_y, vel_x, vel_y, ncx, ncy)
-        ncx = rows[:, 4].astype(jnp.int32)
-        ncy = rows[:, 5].astype(jnp.int32)
-        # order by target cell for in-cell ranking
-        tcell = jnp.where(ok, ncy * grid_w + ncx, jnp.int32(2**30))
-        tcell_s, perm2 = lax.sort_key_val(
-            tcell, jnp.arange(far_capacity, dtype=jnp.int32),
-            is_stable=True)
-        rows = rows[perm2]
-        ok = ok[perm2]
-        from .dense import ranks
-        rank = ranks(tcell_s)
-        occ = jnp.sum(vf, axis=1).astype(jnp.int32)  # [Gy, Gxp]
-        occ_f = occ.reshape(-1)
-        cyx = tcell_s // grid_w, tcell_s % grid_w
-        base = occ_f[jnp.clip(cyx[0], 0, gy - 1) * gxp
-                     + jnp.clip(cyx[1], 0, gxp - 1)]
-        slot = base + rank
-        fits = ok & (slot < k)
-        flat = jnp.where(
-            fits, (cyx[0] * k + slot) * gxp + cyx[1], px.size)
-        px = px.reshape(-1).at[flat].set(rows[:, 0], mode="drop").reshape(px.shape)
-        py = py.reshape(-1).at[flat].set(rows[:, 1], mode="drop").reshape(py.shape)
-        vx = vx.reshape(-1).at[flat].set(rows[:, 2], mode="drop").reshape(vx.shape)
-        vy = vy.reshape(-1).at[flat].set(rows[:, 3], mode="drop").reshape(vy.shape)
-        vf = vf.reshape(-1).at[flat].set(1.0, mode="drop").reshape(vf.shape)
-        dropped = n_far - jnp.sum(fits.astype(jnp.int32))
-        return px, py, vx, vy, vf, dropped
-
-    def step(gs: GridState, params: TickParams) -> GridState:
+    def step(gs: GridState, params: TickParams,
+             forcefield: Optional[jax.Array] = None) -> GridState:
         frame = gs.tick + jnp.uint32(1)
+        dt = params.delta
 
         # 1. re-bin by next predicted cell (Pallas; local moves)
-        px, py, vx, vy, vf, lost_g = prebin.rebin(
-            gs.pos_x, gs.pos_y, gs.vel_x, gs.vel_y, gs.valid,
-            params.delta, settings, gxp)
-        n_lost_local = jnp.round(jnp.sum(lost_g)).astype(jnp.int32)
+        px, py, vx, vy, occ_row, far_n, over_n = fused.rebin(
+            gs.pos_x, gs.pos_y, gs.vel_x, gs.vel_y, gs.occ_row, dt,
+            settings)
+        n_far = jnp.sum(far_n)
+        n_over = jnp.sum(over_n)
 
-        # 2. far movers (rare): recompute their targets and re-insert
-        dt = params.delta
-        half = jnp.asarray(settings.size, jnp.float32) * 0.5
-        prx = jnp.clip(gs.pos_x + gs.vel_x * dt, -half[0], half[0])
-        pry = jnp.clip(gs.pos_y + gs.vel_y * dt, -half[1], half[1])
-        h_inv = jnp.float32(1.0 / settings.smoothing_radius)
-        # interior clamp mirrors ops.grid.cell_xy / pallas.rebin._cells_of
-        ncx = jnp.clip(
-            jnp.floor((prx + half[0]) * h_inv).astype(jnp.int32) + 1,
-            1, grid_w - 2)
-        ncy = jnp.clip(
-            jnp.floor((pry + half[1]) * h_inv).astype(jnp.int32) + 1,
-            1, gy - 2)
-        scx = jax.lax.broadcasted_iota(jnp.int32, gs.pos_x.shape, 2)
-        scy = jax.lax.broadcasted_iota(jnp.int32, gs.pos_x.shape, 0)
-        far = (gs.valid > 0.0) & (
-            (jnp.abs(ncy - scy) > 1) | (jnp.abs(ncx - scx) > 1))
-        far_flat = far.reshape(-1)
-        n_far = jnp.sum(far_flat.astype(jnp.int32))
-        pos6 = jnp.stack(
-            [gs.pos_x.reshape(-1), gs.pos_y.reshape(-1),
-             gs.vel_x.reshape(-1), gs.vel_y.reshape(-1),
-             ncx.reshape(-1).astype(jnp.float32),
-             ncy.reshape(-1).astype(jnp.float32)], axis=1)
+        # 2. far movers (rare): recompute their targets and re-insert.
+        # All the heavy mask math lives INSIDE the cond branch.
+        def do_far(ops):
+            px, py, vx, vy, occ_row = ops
+            half = jnp.asarray(settings.size, jnp.float32) * 0.5
+            prx = jnp.clip(gs.pos_x + gs.vel_x * dt, -half[0], half[0])
+            pry = jnp.clip(gs.pos_y + gs.vel_y * dt, -half[1], half[1])
+            # interior clamp mirrors ops.grid.cell_xy / fused rebin
+            ncx = jnp.clip(
+                jnp.floor((prx + half[0]) * h_inv).astype(jnp.int32) + 1,
+                1, grid_w - 2)
+            ncy = jnp.clip(
+                jnp.floor((pry + half[1]) * h_inv).astype(jnp.int32) + 1,
+                1, gy - 2)
+            scx = jax.lax.broadcasted_iota(jnp.int32, gs.pos_x.shape, 2)
+            scy = jax.lax.broadcasted_iota(jnp.int32, gs.pos_x.shape, 0)
+            far = (gs.pos_x < SENTINEL_HALF) & (
+                (jnp.abs(ncy - scy) > 1) | (jnp.abs(ncx - scx) > 1))
+            far_flat = far.reshape(-1)
+            size = px.size
+            sort_key = jnp.where(far_flat, 0, 1).astype(jnp.int32)
+            _, perm = lax.sort_key_val(
+                sort_key, jnp.arange(size, dtype=jnp.int32), is_stable=True)
+            sel = perm[:far_capacity]
+            ok = jnp.arange(far_capacity, dtype=jnp.int32) < n_far
+            rows = jnp.stack(
+                [gs.pos_x.reshape(-1), gs.pos_y.reshape(-1),
+                 gs.vel_x.reshape(-1), gs.vel_y.reshape(-1),
+                 ncx.reshape(-1).astype(jnp.float32),
+                 ncy.reshape(-1).astype(jnp.float32)], axis=1)[sel]
+            tcx = rows[:, 4].astype(jnp.int32)
+            tcy = rows[:, 5].astype(jnp.int32)
+            # order by target cell for in-cell ranking
+            tcell = jnp.where(ok, tcy * grid_w + tcx, jnp.int32(2**30))
+            tcell_s, perm2 = lax.sort_key_val(
+                tcell, jnp.arange(far_capacity, dtype=jnp.int32),
+                is_stable=True)
+            rows = rows[perm2]
+            ok = ok[perm2]
+            from .dense import ranks
+            rank = ranks(tcell_s)
+            occ_cell = jnp.sum(
+                (px < SENTINEL_HALF).astype(jnp.int32), axis=1)  # [Gy, Gxp]
+            cy2 = jnp.clip(tcell_s // grid_w, 0, gy - 1)
+            cx2 = jnp.clip(tcell_s % grid_w, 0, gxp - 1)
+            base = occ_cell.reshape(-1)[cy2 * gxp + cx2]
+            slot = base + rank
+            fits = ok & (slot < k)
+            flat = jnp.where(fits, (cy2 * k + slot) * gxp + cx2, size)
+            px = px.reshape(-1).at[flat].set(
+                rows[:, 0], mode="drop").reshape(px.shape)
+            py = py.reshape(-1).at[flat].set(
+                rows[:, 1], mode="drop").reshape(py.shape)
+            vx_ = vx.reshape(-1).at[flat].set(
+                rows[:, 2], mode="drop").reshape(vx.shape)
+            vy_ = vy.reshape(-1).at[flat].set(
+                rows[:, 3], mode="drop").reshape(vy.shape)
+            dropped = n_far - jnp.sum(fits.astype(jnp.int32))
+            return px, py, vx_, vy_, occ_row_of(px), dropped
 
-        px, py, vx, vy, vf, far_dropped = lax.cond(
+        px, py, vx, vy, occ_row, far_dropped = lax.cond(
             n_far > 0,
-            far_fallback,
-            lambda args: (args[0], args[1], args[2], args[3], args[4],
-                          jnp.int32(0)),
-            (px, py, vx, vy, vf, far_flat, pos6),
+            do_far,
+            lambda ops: (*ops, jnp.int32(0)),
+            (px, py, vx, vy, occ_row),
         )
-        # rebin counted far movers as lost; they were re-inserted above
-        lost_step = n_lost_local - (n_far - far_dropped)
 
-        # 3. physics on the rebinned grid (prediction recomputed — same
-        # formula the rebin keys used)
-        prx = jnp.clip(px + vx * dt, -half[0], half[0])
-        pry = jnp.clip(py + vy * dt, -half[1], half[1])
-        grid = DenseGrid(flat=None, px=prx, py=pry, vx=vx, vy=vy,
-                         valid=vf, n_dropped=None)
-        dens = psph.density(grid, params.mass, settings.smoothing_radius)
-        dens = jnp.maximum(jnp.maximum(dens, EPSILON), 0.1)
-        fx, fy, gxf, gyf = psph.forces(
-            grid, dens, params, settings.smoothing_radius,
-            settings.sqr_radius, norms.spiky_derivative, norms.viscosity,
-            frame)
+        # 3. physics: density -> (pressure, 1/rho) -> forces + integration,
+        # two fused occupancy-aware Pallas kernels
+        pres, invr = fused.density(
+            px, py, vx, vy, occ_row, params.mass, dt,
+            params.pressure_constant, params.rest_density, settings)
+        ff_cells = None
+        if has_force_field:
+            if forcefield is None:
+                raise ValueError("step built with has_force_field=True "
+                                 "needs a forcefield argument")
+            ff_cells = forcefield_cells(forcefield, settings, gxp)
+        npx, npy, nvx, nvy = fused.forces_integrate(
+            px, py, vx, vy, pres, invr, occ_row, params, settings, frame,
+            ff_cells=ff_cells, x_boundary=x_boundary)
 
-        # 4. integrate elementwise on the grid
-        pos = jnp.stack([px, py], axis=-1)
-        vel = jnp.stack([vx, vy], axis=-1)
-        pred = jnp.stack([prx, pry], axis=-1)
-        accel = jnp.stack([fx + gxf, fy + gyf], axis=-1)
-        new_pos, new_vel = _integrate(
-            pos, vel, pred, dens, accel, params, settings, None)
-        mask = vf > 0.0
         return GridState(
-            pos_x=jnp.where(mask, new_pos[..., 0], 0.0),
-            pos_y=jnp.where(mask, new_pos[..., 1], 0.0),
-            vel_x=jnp.where(mask, new_vel[..., 0], 0.0),
-            vel_y=jnp.where(mask, new_vel[..., 1], 0.0),
-            valid=vf,
+            pos_x=npx, pos_y=npy, vel_x=nvx, vel_y=nvy,
+            occ_row=occ_row,  # packing unchanged by integration
             tick=frame,
-            lost=gs.lost + lost_step,
+            lost=gs.lost + n_over + far_dropped,
         )
 
-    return jax.jit(step)
+    if has_force_field:
+        return jax.jit(step)
+    return jax.jit(lambda gs, params: step(gs, params, None))
 
 
 def make_grid_multi_step(settings: SimSettings, n_steps: int, **kw):
+    has_ff = kw.get("has_force_field", False)
     step = make_grid_step(settings, **kw)
+
+    if has_ff:
+        @jax.jit
+        def run(gs, params, forcefield):
+            def body(s, _):
+                return step(s, params, forcefield), None
+            out, _ = lax.scan(body, gs, None, length=n_steps)
+            return out
+        return run
 
     @jax.jit
     def run(gs, params):

@@ -451,3 +451,342 @@ def gather_state(sharded: ShardedState) -> ParticleState:
         cell=jnp.zeros((n,), jnp.uint32),
         tick=sharded.tick,
     )
+
+
+# =====================================================================
+# Resident-grid sharding: the grid-resident engine (ops.resident) over
+# row-band slabs — BASELINE config 5 on the fast path.
+# =====================================================================
+#
+# The resident state is the dense slot grid [Gy, K, Gxp] and every fused
+# kernel is a row program, so the natural shard axis is the GRID ROW:
+# each device owns a contiguous band of rows (world-space horizontal
+# slabs). Per step:
+#
+#   1. local rebin over the band padded with one empty row per side —
+#      arrivals into the pad rows belong to the mesh neighbors;
+#   2. one ppermute each way ships those boundary rows; a slot-append
+#      merge folds them into the receiving band's edge rows;
+#   3. far movers (> 1 cell/step) go through a psum-gated all_gather of
+#      fixed-size packets — every device re-inserts the ones landing in
+#      its band (zero cost when there are none);
+#   4. one ppermute each way ships a TWO-row (pos, vel) halo; density and
+#      the fused forces+integration run on the band+halo and the middle
+#      rows are kept. Two rows because edge-row forces need neighbor
+#      densities, which need the neighbor's second row — shipping state
+#      once keeps density local (same reasoning as the column sharding
+#      above).
+#
+# Everything rides lax.ppermute over ICI; per-step comm volume is
+# O(rows * K * Gx), independent of band height.
+
+from ..ops import resident as residentops
+from ..ops.pallas import fused as _fused
+from ..ops.pallas.fused import SENTINEL, SENTINEL_HALF
+
+
+@dataclasses.dataclass(frozen=True)
+class ResidentShardSpec:
+    settings: SimSettings
+    n_devices: int
+    rows_per_dev: int
+    gy_pad: int
+    far_capacity: int
+
+
+def build_resident_spec(settings: SimSettings, n_devices: int,
+                        far_capacity: Optional[int] = None) -> ResidentShardSpec:
+    gy = settings.grid_h
+    rows = -(-gy // n_devices)
+    if rows < 4:
+        raise ValueError(
+            f"grid too flat: {gy} rows over {n_devices} devices gives "
+            f"{rows} rows/device (need >= 4 for the 2-row halo)")
+    if far_capacity is None:
+        far_capacity = _round8(
+            max(1024, settings.particle_count // (64 * n_devices)))
+    return ResidentShardSpec(
+        settings=settings, n_devices=n_devices, rows_per_dev=rows,
+        gy_pad=rows * n_devices, far_capacity=_round8(far_capacity))
+
+
+def make_resident_mesh(spec: ResidentShardSpec, devices=None):
+    devices = (devices if devices is not None
+               else jax.devices()[: spec.n_devices])
+    return jax.make_mesh((spec.n_devices,), ("x",), devices=devices)
+
+
+def resident_state_specs():
+    return residentops.GridState(
+        pos_x=P("x"), pos_y=P("x"), vel_x=P("x"), vel_y=P("x"),
+        occ_row=P("x"), tick=P(), lost=P())
+
+
+def init_sharded_resident(spec: ResidentShardSpec, mesh=None):
+    """Build the reference spawn lattice and shard the resident grid by
+    row bands (rows padded to a device multiple with empty sentinels)."""
+    gs = residentops.init_grid_state(spec.settings)
+    mesh = mesh or make_resident_mesh(spec)
+    pad = spec.gy_pad - spec.settings.grid_h
+
+    def padrow(a, fill):
+        if pad == 0:
+            return a
+        p = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+        return jnp.concatenate([a, p], axis=0)
+
+    shard = jax.NamedSharding(mesh, P("x"))
+    rep = jax.NamedSharding(mesh, P())
+    return residentops.GridState(
+        pos_x=jax.device_put(padrow(gs.pos_x, SENTINEL), shard),
+        pos_y=jax.device_put(padrow(gs.pos_y, SENTINEL), shard),
+        vel_x=jax.device_put(padrow(gs.vel_x, 0.0), shard),
+        vel_y=jax.device_put(padrow(gs.vel_y, 0.0), shard),
+        occ_row=jax.device_put(padrow(gs.occ_row, 0), shard),
+        tick=jax.device_put(gs.tick, rep),
+        lost=jax.device_put(gs.lost, rep),
+    )
+
+
+def gather_resident(gs, spec: ResidentShardSpec):
+    """(ParticleState, live_count) from a sharded resident grid (pad rows
+    are empty, so the plain conversion applies). Arrays are pulled to host
+    first — the conversion's global gathers don't shard."""
+    gs_host = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)), gs)
+    return residentops.to_particles(gs_host, spec.settings)
+
+
+def make_sharded_resident_step(spec: ResidentShardSpec, mesh=None,
+                               x_boundary: str = "bounce",
+                               has_force_field: bool = False):
+    """Jitted multi-chip resident step:
+    ``step(gs, params[, forcefield]) -> (gs, stats)``;
+    stats["n_valid"]: i32[D] live particles per device.
+    """
+    settings = spec.settings
+    d_count = spec.n_devices
+    rloc = spec.rows_per_dev
+    k = settings.cell_capacity
+    gxp = residentops._gxp(settings)
+    grid_w = settings.grid_w
+    gy_glob = settings.grid_h
+    h_inv = 1.0 / settings.smoothing_radius
+    fcap = spec.far_capacity
+    mesh = mesh or make_resident_mesh(spec)
+
+    right_perm = [(i, i + 1) for i in range(d_count - 1)]
+    left_perm = [(i, i - 1) for i in range(1, d_count)]
+
+    def send_right(tree):
+        if d_count == 1:
+            return jax.tree.map(jnp.zeros_like, tree)
+        return jax.tree.map(lambda x: lax.ppermute(x, "x", right_perm), tree)
+
+    def send_left(tree):
+        if d_count == 1:
+            return jax.tree.map(jnp.zeros_like, tree)
+        return jax.tree.map(lambda x: lax.ppermute(x, "x", left_perm), tree)
+
+    def merge_row(a4, b4, bcnt):
+        """Append packed boundary-row B behind row A, per cell.
+
+        a4/b4: 4 x [K, Gxp] (pos_x, pos_y, vel_x, vel_y), slot-packed with
+        sentinel empties; bcnt: i32[Gxp] valid entries per cell of B
+        (ppermute zero-fill => bcnt 0 => no-op). Returns (merged4, occ,
+        n_overflow)."""
+        acnt = jnp.sum((a4[0] < SENTINEL_HALF).astype(jnp.int32), axis=0)
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (k, gxp), 0)
+        bidx = jnp.clip(kiota - acnt[None, :], 0, k - 1)
+        sel = (kiota >= acnt[None, :]) & (
+            kiota - acnt[None, :] < bcnt[None, :])
+        out = tuple(
+            jnp.where(sel, jnp.take_along_axis(b, bidx, axis=0), a)
+            for a, b in zip(a4, b4))
+        occ = jnp.max(jnp.minimum(acnt + bcnt, k))
+        over = jnp.sum(jnp.maximum(acnt + bcnt - k, 0))
+        return out, occ, over
+
+    def local_step(gs, params, forcefield):
+        frame = gs.tick + jnp.uint32(1)
+        dt = params.delta
+        dev = lax.axis_index("x")
+        row_off = dev * rloc
+
+        # ---- 1. rebin over the band + 1 pad row per side
+        def pad1(a, fill):
+            p = jnp.full((1,) + a.shape[1:], fill, a.dtype)
+            return jnp.concatenate([p, a, p], axis=0)
+
+        px, py, vx, vy, occ2, far_n, over_n = _fused.rebin(
+            pad1(gs.pos_x, SENTINEL), pad1(gs.pos_y, SENTINEL),
+            pad1(gs.vel_x, 0.0), pad1(gs.vel_y, 0.0),
+            jnp.concatenate([jnp.zeros((1,), jnp.int32), gs.occ_row,
+                             jnp.zeros((1,), jnp.int32)]),
+            dt, settings, row_offset=row_off - 1)
+        n_over = jnp.sum(over_n)
+        n_far_loc = jnp.sum(far_n)
+
+        # ---- 2. ship boundary-row arrivals, merge into edge rows
+        low4 = tuple(a[0] for a in (px, py, vx, vy))      # -> dev-1
+        high4 = tuple(a[rloc + 1] for a in (px, py, vx, vy))  # -> dev+1
+        low_cnt = jnp.sum((low4[0] < SENTINEL_HALF).astype(jnp.int32),
+                          axis=0)
+        high_cnt = jnp.sum((high4[0] < SENTINEL_HALF).astype(jnp.int32),
+                           axis=0)
+        fl = send_right((*high4, high_cnt))   # from dev-1, lands in my row 0
+        fr = send_left((*low4, low_cnt))      # from dev+1, my row rloc-1
+        band = [a[1:rloc + 1] for a in (px, py, vx, vy)]
+        occ_band = occ2[1:rloc + 1]
+        m0, occ0, over0 = merge_row(
+            tuple(a[0] for a in band), fl[:4], fl[4])
+        mT, occT, overT = merge_row(
+            tuple(a[rloc - 1] for a in band), fr[:4], fr[4])
+        band = [
+            a.at[0].set(r0).at[rloc - 1].set(rT)
+            for a, r0, rT in zip(band, m0, mT)]
+        occ_band = occ_band.at[0].set(occ0).at[rloc - 1].set(occT)
+        merge_over = over0 + overT
+
+        # ---- 3. far movers: psum-gated all_gather of fixed packets
+        total_far = lax.psum(n_far_loc, "x")
+
+        def do_far(ops):
+            bpx, bpy, bvx, bvy, occ_b = ops
+            half = jnp.asarray(settings.size, jnp.float32) * 0.5
+            prx = jnp.clip(gs.pos_x + gs.vel_x * dt, -half[0], half[0])
+            pry = jnp.clip(gs.pos_y + gs.vel_y * dt, -half[1], half[1])
+            ncx = jnp.clip(
+                jnp.floor((prx + half[0]) * h_inv).astype(jnp.int32) + 1,
+                1, grid_w - 2)
+            ncy = jnp.clip(
+                jnp.floor((pry + half[1]) * h_inv).astype(jnp.int32) + 1,
+                1, gy_glob - 2)
+            scx = jax.lax.broadcasted_iota(jnp.int32, gs.pos_x.shape, 2)
+            scy = (jax.lax.broadcasted_iota(jnp.int32, gs.pos_x.shape, 0)
+                   + row_off)
+            far = (gs.pos_x < SENTINEL_HALF) & (
+                (jnp.abs(ncy - scy) > 1) | (jnp.abs(ncx - scx) > 1))
+            far_flat = far.reshape(-1)
+            fields = jnp.stack(
+                [gs.pos_x.reshape(-1), gs.pos_y.reshape(-1),
+                 gs.vel_x.reshape(-1), gs.vel_y.reshape(-1)], axis=1)
+            (pk,), pk_valid, pk_drop = _pack(far_flat, (fields,), fcap)
+            packet = jnp.concatenate(
+                [pk, pk_valid[:, None].astype(jnp.float32)], axis=1)
+            allp = lax.all_gather(packet, "x")  # [D, fcap, 5]
+            allp = allp.reshape(d_count * fcap, 5)
+            flag = allp[:, 4] > 0.5
+            gprx = jnp.clip(allp[:, 0] + allp[:, 2] * dt, -half[0], half[0])
+            gpry = jnp.clip(allp[:, 1] + allp[:, 3] * dt, -half[1], half[1])
+            gcx = jnp.clip(
+                jnp.floor((gprx + half[0]) * h_inv).astype(jnp.int32) + 1,
+                1, grid_w - 2)
+            gcy = jnp.clip(
+                jnp.floor((gpry + half[1]) * h_inv).astype(jnp.int32) + 1,
+                1, gy_glob - 2)
+            mine = flag & (gcy >= row_off) & (gcy < row_off + rloc)
+            lcell = jnp.where(
+                mine, (gcy - row_off) * grid_w + gcx, jnp.int32(2**30))
+            m = d_count * fcap
+            lcell_s, perm2 = lax.sort_key_val(
+                lcell, jnp.arange(m, dtype=jnp.int32), is_stable=True)
+            rows_s = allp[perm2]
+            mine_s = mine[perm2]
+            from ..ops.dense import ranks
+            rank = ranks(lcell_s)
+            occ_cell = jnp.sum(
+                (bpx < SENTINEL_HALF).astype(jnp.int32), axis=1)
+            cy2 = jnp.clip(lcell_s // grid_w, 0, rloc - 1)
+            cx2 = jnp.clip(lcell_s % grid_w, 0, gxp - 1)
+            base = occ_cell.reshape(-1)[cy2 * gxp + cx2]
+            slot = base + rank
+            fits = mine_s & (slot < k)
+            flat = jnp.where(fits, (cy2 * k + slot) * gxp + cx2, bpx.size)
+            bpx = bpx.reshape(-1).at[flat].set(
+                rows_s[:, 0], mode="drop").reshape(bpx.shape)
+            bpy = bpy.reshape(-1).at[flat].set(
+                rows_s[:, 1], mode="drop").reshape(bpy.shape)
+            bvx = bvx.reshape(-1).at[flat].set(
+                rows_s[:, 2], mode="drop").reshape(bvx.shape)
+            bvy = bvy.reshape(-1).at[flat].set(
+                rows_s[:, 3], mode="drop").reshape(bvy.shape)
+            dropped = (jnp.sum(mine_s.astype(jnp.int32))
+                       - jnp.sum(fits.astype(jnp.int32)) + pk_drop)
+            return (bpx, bpy, bvx, bvy, residentops.occ_row_of(bpx),
+                    dropped)
+
+        def no_far(ops):
+            return (*ops, jnp.int32(0))
+
+        bpx, bpy, bvx, bvy, occ_band, far_dropped = lax.cond(
+            total_far > 0, do_far, no_far,
+            (band[0], band[1], band[2], band[3], occ_band))
+
+        # ---- 4. two-row halo exchange + physics on band+halo
+        top2 = tuple(a[rloc - 2:rloc] for a in (bpx, bpy, bvx, bvy))
+        bot2 = tuple(a[0:2] for a in (bpx, bpy, bvx, bvy))
+        fb = send_right((*top2, occ_band[rloc - 2:rloc]))  # from dev-1
+        fa = send_left((*bot2, occ_band[0:2]))             # from dev+1
+        has_below = dev > 0
+        has_above = dev < d_count - 1
+
+        def sanitize(rows4, occ, has):
+            pos_fill = jnp.full_like(rows4[0], SENTINEL)
+            vel_fill = jnp.zeros_like(rows4[2])
+            return (
+                jnp.where(has, rows4[0], pos_fill),
+                jnp.where(has, rows4[1], pos_fill),
+                jnp.where(has, rows4[2], vel_fill),
+                jnp.where(has, rows4[3], vel_fill),
+                jnp.where(has, occ, jnp.zeros_like(occ)),
+            )
+
+        fb = sanitize(fb[:4], fb[4], has_below)
+        fa = sanitize(fa[:4], fa[4], has_above)
+        L = [jnp.concatenate([fb[i], b, fa[i]], axis=0)
+             for i, b in enumerate((bpx, bpy, bvx, bvy))]
+        occ_l = jnp.concatenate([fb[4], occ_band, fa[4]])
+
+        pres, invr = _fused.density(
+            L[0], L[1], L[2], L[3], occ_l, params.mass, dt,
+            params.pressure_constant, params.rest_density, settings)
+        ff_cells = None
+        if has_force_field:
+            ff_cells = residentops.forcefield_cells(
+                forcefield, settings, gxp, row_start=row_off - 2,
+                n_rows=rloc + 4)
+        npx, npy, nvx, nvy = _fused.forces_integrate(
+            L[0], L[1], L[2], L[3], pres, invr, occ_l, params, settings,
+            frame, ff_cells=ff_cells, x_boundary=x_boundary)
+
+        out = residentops.GridState(
+            pos_x=npx[2:rloc + 2], pos_y=npy[2:rloc + 2],
+            vel_x=nvx[2:rloc + 2], vel_y=nvy[2:rloc + 2],
+            occ_row=occ_band, tick=frame,
+            lost=gs.lost + lax.psum(
+                n_over + merge_over + far_dropped, "x"),
+        )
+        n_valid = jnp.sum(
+            (out.pos_x < SENTINEL_HALF).astype(jnp.int32))[None]
+        return out, dict(n_valid=n_valid)
+
+    specs_state = resident_state_specs()
+    specs_params = jax.tree.map(lambda _: P(), TickParams.default())
+    stats_spec = dict(n_valid=P("x"))
+
+    if has_force_field:
+        fn = jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(specs_state, specs_params, P()),
+            out_specs=(specs_state, stats_spec),
+            check_vma=False,  # pallas_call out_shapes carry no vma
+        )
+        return jax.jit(fn)
+
+    fn = jax.shard_map(
+        lambda s, p: local_step(s, p, None), mesh=mesh,
+        in_specs=(specs_state, specs_params),
+        out_specs=(specs_state, stats_spec),
+        check_vma=False,  # pallas_call out_shapes carry no vma
+    )
+    return jax.jit(fn)
