@@ -178,3 +178,63 @@ def test_resident_wrap_boundary():
     crossed = p[np.argsort(p[:, 1])][:2]  # the two movers, by y
     assert crossed[0, 0] < 0.0 < crossed[1, 0]  # teleported to far wall
     assert np.abs(v).max() == 30.0  # velocity untouched by the wrap
+
+
+def test_strict_capacity_refuses_undersized_scenes():
+    """The round-1 failure mode: a gravity scene silently shed 99% of its
+    mass at cell_capacity 8. FluidApp now refuses up front with a sizing
+    message (the reference's unbounded loops never lose mass,
+    compute.wgsl:182-229)."""
+    from tpufluid.app import FluidApp
+    from tpufluid.params import suggest_cell_capacity
+
+    s = SimSettings(particle_count=16384, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(13.0, 26.0), cell_capacity=8)
+    params = TickParams.default(gravity=(0.0, -9.8))
+    need = suggest_cell_capacity(s, params)
+    assert need > 8
+    with pytest.raises(ValueError, match="cell_capacity"):
+        FluidApp(s, params, neighbor_mode="resident")
+    # escape hatch: counted loss accepted explicitly
+    app = FluidApp(s, params, neighbor_mode="resident",
+                   strict_capacity=False)
+    assert app is not None
+    # zero-gravity default passes at the same capacity
+    ok = SimSettings(particle_count=256, particle_spacing=0.1,
+                     smoothing_radius=0.2, size=(6.0, 6.0), cell_capacity=8)
+    FluidApp(ok, TickParams.default(), neighbor_mode="resident")
+
+
+def test_batched_worlds_match_single_world_steps():
+    """B worlds stacked along the row axis (make_grid_step n_worlds=B) with
+    per-world gravity step EXACTLY like B separate single-world runs
+    (BASELINE config 4 mechanics: one kernel pass, no vmap)."""
+    s = SimSettings(particle_count=128, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(6.0, 6.0), cell_capacity=8)
+    B = 3
+    plist = [TickParams.default(gravity=(0.0, -g)) for g in (0.0, 4.9, 9.8)]
+    gs = resident.init_batched_grid_state(s, B)
+    step = resident.make_grid_step(s, n_worlds=B)
+    bp = resident.batched_params(plist)
+    for _ in range(4):
+        gs = step(gs, bp)
+    assert int(gs.lost) == 0
+    rstep = resident.make_grid_step(s)
+    for w in range(B):
+        ref = resident.init_grid_state(s)
+        for _ in range(4):
+            ref = rstep(ref, plist[w])
+        ps, live = resident.to_particles(
+            resident.world_state(gs, s, w), s)
+        pr, liver = resident.to_particles(ref, s)
+        assert int(live) == 128 and int(liver) == 128
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ps.position)[:128], axis=0),
+            np.sort(np.asarray(pr.position)[:128], axis=0))
+
+
+def test_batched_requires_shared_delta():
+    s = settings(n=16)
+    plist = [TickParams.default(delta=1 / 120), TickParams.default(delta=1 / 60)]
+    with pytest.raises(ValueError, match="delta"):
+        resident.batched_params(plist)

@@ -104,3 +104,125 @@ def test_multi_step_matches_python_loop():
     np.testing.assert_allclose(np.asarray(state_a.velocity),
                                np.asarray(state_b.velocity), atol=1e-4)
     assert int(state_b.tick) == 8
+
+
+# ---------------------------------------------------------------------
+# Variants on the fast engines (dense / pallas / resident) — VERDICT r1
+# item 9: the reference implements surface tension in its one engine
+# (compute.wgsl:303-498) and the fork strides the pressure loop
+# (shaders/compute.wgsl:170-174,195); every tpufluid engine carries both.
+# ---------------------------------------------------------------------
+
+def st_settings(n=36, cap=8):
+    # h > 1 so the color-field gradient is non-zero: the reference passes
+    # the NORMALIZED direction to poly6_gradient (|r| = 1), which zeroes
+    # the gradient whenever h <= 1 (pairs.color_field_gradient docstring).
+    # Kept tiny: interpreter-mode Pallas cost scales with the K unroll.
+    return SimSettings(particle_count=n, particle_spacing=0.75,
+                       smoothing_radius=1.5, size=(12.0, 12.0),
+                       cell_capacity=cap)
+
+
+def _run(s, mode, n_steps=3, **kw):
+    step = make_step(s, neighbor_mode=mode, **kw)
+    state = init_state(s)
+    params = TickParams.default(gravity=(0.0, -2.0),
+                                surface_tension_threshold=0.05,
+                                surface_tension_coefficient=5.0)
+    for _ in range(n_steps):
+        state = step(state, params)
+    return state
+
+
+def test_surface_tension_engines_agree():
+    ref = _run(st_settings(), "grid", surface_tension=True)
+    base = _run(st_settings(), "grid", surface_tension=False)
+    # the variant actually does something at h=1.5
+    assert not np.allclose(np.asarray(ref.velocity), np.asarray(base.velocity))
+    for mode in ("naive", "dense", "pallas"):
+        out = _run(st_settings(), mode, surface_tension=True)
+        np.testing.assert_allclose(
+            np.asarray(out.position), np.asarray(ref.position), atol=2e-5,
+            err_msg=f"mode={mode}")
+
+
+def test_surface_tension_resident_matches_dense():
+    from tpufluid.ops import resident
+    from scipy.spatial import cKDTree
+
+    s = st_settings()
+    params = TickParams.default(gravity=(0.0, -2.0),
+                                surface_tension_threshold=0.05,
+                                surface_tension_coefficient=5.0)
+    ref = init_state(s)
+    rstep = make_step(s, neighbor_mode="dense", surface_tension=True)
+    gs = resident.init_grid_state(s)
+    gstep = resident.make_grid_step(s, surface_tension=True)
+    for _ in range(3):
+        ref = rstep(ref, params)
+        gs = gstep(gs, params)
+    ps, live = resident.to_particles(gs, s)
+    assert int(live) == s.particle_count
+    d, _ = cKDTree(np.asarray(ref.position)).query(
+        np.asarray(ps.position)[: s.particle_count])
+    assert d.max() < 1e-4
+
+
+def test_adaptive_subsampling_engines():
+    # piled particles: density > 200 -> stride 13 on the pressure loop
+    # (keep cap small: interpreter-mode Pallas cost scales with the unroll)
+    n = 16
+    s = settings(n=n, cap=16)
+    rng = np.random.default_rng(0)
+    pos = (rng.uniform(-0.05, 0.05, (n, 2))).astype(np.float32)
+    state = ParticleState(
+        position=jnp.asarray(pos), predicted=jnp.asarray(pos),
+        velocity=jnp.zeros((n, 2)), density=jnp.ones(n),
+        cell=jnp.zeros(n, jnp.uint32), tick=jnp.zeros((), jnp.uint32))
+    params = TickParams.default(gravity=(0.0, 0.0))
+    ref = make_step(s, adaptive_subsampling=True)(state, params)
+    assert float(jnp.max(ref.density)) > 200.0
+    full = make_step(s, neighbor_mode="dense")(state, params)
+    for mode in ("naive", "dense", "pallas"):
+        out = make_step(s, neighbor_mode=mode,
+                        adaptive_subsampling=True)(state, params)
+        np.testing.assert_allclose(
+            np.asarray(out.velocity), np.asarray(ref.velocity), atol=1e-4,
+            err_msg=f"mode={mode}")
+        # and it differs from the unsubsampled forces
+        assert not np.allclose(np.asarray(out.velocity),
+                               np.asarray(full.velocity))
+
+
+def test_adaptive_subsampling_resident():
+    """Low density -> stride 1 -> bitwise no-op; piled -> finite + differs.
+    (The resident packing order differs from sort order, so the STRIDED
+    SUBSET of neighbors differs from the [N] engines — same semantics,
+    different sample; exact parity only holds at stride 1.)"""
+    from tpufluid.ops import resident
+
+    s = settings(n=128, cap=8)
+    params = TickParams.default(gravity=(0.0, -9.8))
+    a = resident.make_grid_step(s)(resident.init_grid_state(s), params)
+    b = resident.make_grid_step(s, adaptive_subsampling=True)(
+        resident.init_grid_state(s), params)
+    np.testing.assert_array_equal(np.asarray(a.pos_x), np.asarray(b.pos_x))
+    np.testing.assert_array_equal(np.asarray(a.vel_y), np.asarray(b.vel_y))
+
+    # pile: one dense clump -> density > 200
+    n2 = 16
+    s2 = settings(n=n2, cap=16)
+    rng = np.random.default_rng(1)
+    pos = (rng.uniform(-0.05, 0.05, (n2, 2))).astype(np.float32)
+    st = ParticleState(
+        position=jnp.asarray(pos), predicted=jnp.asarray(pos),
+        velocity=jnp.zeros((n2, 2)), density=jnp.ones(n2),
+        cell=jnp.zeros(n2, jnp.uint32), tick=jnp.zeros((), jnp.uint32))
+    gs0 = resident.from_particles(st, s2)
+    ga = resident.make_grid_step(s2)(gs0, TickParams.default())
+    gb = resident.make_grid_step(s2, adaptive_subsampling=True)(
+        gs0, TickParams.default())
+    va = np.asarray(ga.vel_x)[np.asarray(ga.pos_x) < 1e8]
+    vb = np.asarray(gb.vel_x)[np.asarray(gb.pos_x) < 1e8]
+    assert np.all(np.isfinite(vb))
+    assert not np.allclose(va, vb)

@@ -46,25 +46,36 @@ class FluidApp:
     def __init__(self, settings: SimSettings = SimSettings(),
                  params: Optional[TickParams] = None,
                  objects: Optional[ff.Objects] = None,
+                 strict_capacity: bool = True,
                  **step_kw):
         self.settings = settings
         self.params = params or TickParams.default()
         self.objects = objects if objects is not None else ff.Objects.empty()
         self._has_objects = self.objects.kind.shape[0] > 0
         self._resident = step_kw.get("neighbor_mode") == "resident"
-        if self._resident:
-            unsupported = {
-                k: v for k, v in step_kw.items()
-                if k in ("surface_tension", "adaptive_subsampling") and v
-            }
-            if unsupported:
+        if (strict_capacity
+                and step_kw.get("neighbor_mode") in ("resident", "dense",
+                                                     "pallas")):
+            # fail fast instead of silently shedding mass (the reference's
+            # unbounded loops never lose particles, compute.wgsl:182-229)
+            from .params import suggest_cell_capacity
+            need = suggest_cell_capacity(settings, self.params)
+            if settings.cell_capacity < need:
                 raise ValueError(
-                    f"resident mode does not support {sorted(unsupported)}; "
-                    f"use neighbor_mode='grid' for these variants")
+                    f"cell_capacity={settings.cell_capacity} is undersized "
+                    f"for this scene: gravity/EOS compression needs ~{need} "
+                    f"(suggest_cell_capacity). Raise cell_capacity, use "
+                    f"neighbor_mode='grid', or pass strict_capacity=False "
+                    f"to accept counted mass loss (GridState.lost / "
+                    f"health_check).")
+        if self._resident:
             from .ops import resident as residentops
             self._residentops = residentops
             self._resident_kw = dict(
-                x_boundary=step_kw.get("x_boundary") or "bounce")
+                x_boundary=step_kw.get("x_boundary") or "bounce",
+                surface_tension=step_kw.get("surface_tension", False),
+                adaptive_subsampling=step_kw.get(
+                    "adaptive_subsampling", False))
             self._step = residentops.make_grid_step(
                 settings, has_force_field=self._has_objects,
                 **self._resident_kw)

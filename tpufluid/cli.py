@@ -19,6 +19,9 @@ def _add_common(p):
                    help="smoothing radius h")
     p.add_argument("--size", type=float, nargs=2, default=(53.0, 53.0))
     p.add_argument("--cell-capacity", type=int, default=16)
+    p.add_argument("--no-strict-capacity", action="store_true",
+                   help="accept counted mass loss instead of refusing "
+                        "undersized cell capacities (suggest_cell_capacity)")
     p.add_argument("--texture-size", type=int, nargs=2, default=(1024, 1024),
                    help="obstacle force-field resolution (W H)")
     p.add_argument("--dt", type=float, default=1.0 / 120.0)
@@ -73,13 +76,8 @@ def _build_app(args):
     objs += [("rect", (x, y), (w, h), rot) for x, y, w, h, rot in args.rect]
     objects = ff.Objects.from_list(objs) if objs else None
     mode = args.neighbor_mode
-    if (args.surface_tension or args.adaptive_subsampling) and mode != "grid":
-        import sys
-        print(f"warning: --surface-tension/--adaptive-subsampling need the "
-              f"windowed path; overriding --neighbor-mode {mode} -> grid",
-              file=sys.stderr)
-        mode = "grid"
     app = FluidApp(settings, params, objects,
+                   strict_capacity=not args.no_strict_capacity,
                    surface_tension=args.surface_tension,
                    adaptive_subsampling=args.adaptive_subsampling,
                    neighbor_mode=mode, x_boundary=args.x_boundary)

@@ -144,10 +144,20 @@ def density_pass(grid: DenseGrid, mass, h):
 
 
 def force_pass(grid: DenseGrid, dens_g, params: TickParams, h, sqr_radius,
-               spiky_norm, visc_norm, frame):
+               spiky_norm, visc_norm, frame, surface_tension: bool = False,
+               adaptive_subsampling: bool = False):
     """(fx, fy, gx_, gy_)[Gy, K, Gx]: pressure force (f) and viscosity
     force (g), matching compute.wgsl:160-299 pair math (tie-break contract
-    as in ops.pairs)."""
+    as in ops.pairs).
+
+    Variants (SURVEY.md 2.12 / compute.wgsl:303-498):
+    * ``surface_tension``: color-field gradient + laplacian force, folded
+      into (fx, fy); self-pair included, per pairs.surface_tension.
+    * ``adaptive_subsampling``: pressure candidates strided by 1/5/13 as
+      the querying particle's density crosses 150/200 — the dense slot
+      index IS the rank in the cell run, so the stride is ``kp % inc == 0``
+      (shaders/compute.wgsl:170-174,195).
+    """
     k = grid.px.shape[1]
     p_self = kernels.pressure_eos(
         dens_g, params.pressure_constant, params.rest_density)
@@ -161,6 +171,21 @@ def force_pass(grid: DenseGrid, dens_g, params: TickParams, h, sqr_radius,
     zero = grid.px * 0.0
     fx, fy, gx_, gy_ = zero, zero, zero, zero
     coinc_count = zero.astype(jnp.uint32)
+
+    if adaptive_subsampling:
+        inc = (
+            jnp.uint32(1)
+            + jnp.where(dens_g >= 150.0, jnp.uint32(4), jnp.uint32(0))
+            + jnp.where(dens_g >= 200.0, jnp.uint32(8), jnp.uint32(0))
+        )
+    if surface_tension:
+        # seed per compute.wgsl:406 (WGSL u32(f32) saturates negatives to 0)
+        st_seed = (
+            jnp.maximum(grid.px, 0.0).astype(jnp.int32).astype(jnp.uint32)
+            * jnp.uint32(324) + frame * jnp.uint32(5632)
+        )
+        st_dir = rand_unit_vector(st_seed)  # one draw per particle
+        cgx, cgy, clap = zero, zero, zero
 
     for dy, dx in _OFFSETS:
         nx = _roll(grid.px, dy, dx)
@@ -177,7 +202,10 @@ def force_pass(grid: DenseGrid, dens_g, params: TickParams, h, sqr_radius,
         def body(kp, carry, nx=nx, ny=ny, nvx=nvx, nvy=nvy, nv=nv,
                  ndens=ndens, np_nb=np_nb, is_center=is_center,
                  before=before):
-            fx, fy, gx_, gy_, coinc_count = carry
+            if surface_tension:
+                fx, fy, gx_, gy_, coinc_count, cgx, cgy, clap = carry
+            else:
+                fx, fy, gx_, gy_, coinc_count = carry
             ddx = _slot(nx, kp) - grid.px
             ddy = _slot(ny, kp) - grid.py
             r2 = ddx * ddx + ddy * ddy
@@ -211,8 +239,12 @@ def force_pass(grid: DenseGrid, dens_g, params: TickParams, h, sqr_radius,
             kern_p = kernels.spiky_derivative(h, dst, spiky_norm)
             safe_rho = jnp.where(ndk == 0.0, 1.0, ndk)
             scale_p = kern_p * shared_p / safe_rho
-            fx = fx + jnp.where(in_range, dirx * scale_p, 0.0)
-            fy = fy + jnp.where(in_range, diry * scale_p, 0.0)
+            in_range_p = in_range
+            if adaptive_subsampling:
+                in_range_p = in_range & (
+                    (kp.astype(jnp.uint32) % inc) == jnp.uint32(0))
+            fx = fx + jnp.where(in_range_p, dirx * scale_p, 0.0)
+            fy = fy + jnp.where(in_range_p, diry * scale_p, 0.0)
 
             kern_v = kernels.viscosity(h, dst, visc_norm)
             scale_v = kern_v / safe_rho
@@ -220,10 +252,39 @@ def force_pass(grid: DenseGrid, dens_g, params: TickParams, h, sqr_radius,
                 in_range, (_slot(nvx, kp) - grid.vx) * scale_v, 0.0)
             gy_ = gy_ + jnp.where(
                 in_range, (_slot(nvy, kp) - grid.vy) * scale_v, 0.0)
+
+            if surface_tension:
+                # self-pair INCLUDED (pairs.color_field_* contract)
+                ok_st = _slot(nv, kp) & grid.valid & (r2 <= sqr_radius)
+                co_st = ok_st & (dst == 0.0)
+                sdx = jnp.where(co_st, st_dir[..., 0], dirx)
+                sdy = jnp.where(co_st, st_dir[..., 1], diry)
+                grad = kernels.poly6_gradient(
+                    h, jnp.stack([sdx, sdy], axis=-1))
+                m_rho = params.mass / safe_rho
+                cgx = cgx + jnp.where(ok_st, m_rho * grad[..., 0], 0.0)
+                cgy = cgy + jnp.where(ok_st, m_rho * grad[..., 1], 0.0)
+                lap = kernels.poly6_laplacian(h, dst)
+                clap = clap + jnp.where(ok_st, m_rho * lap, 0.0)
+                return fx, fy, gx_, gy_, coinc_count, cgx, cgy, clap
             return fx, fy, gx_, gy_, coinc_count
 
-        fx, fy, gx_, gy_, coinc_count = lax.fori_loop(
-            0, k, body, (fx, fy, gx_, gy_, coinc_count))
+        if surface_tension:
+            fx, fy, gx_, gy_, coinc_count, cgx, cgy, clap = lax.fori_loop(
+                0, k, body, (fx, fy, gx_, gy_, coinc_count, cgx, cgy, clap))
+        else:
+            fx, fy, gx_, gy_, coinc_count = lax.fori_loop(
+                0, k, body, (fx, fy, gx_, gy_, coinc_count))
+
+    if surface_tension:
+        # pairs.surface_tension composition (compute.wgsl:303-315)
+        n_len = jnp.sqrt(cgx * cgx + cgy * cgy)
+        safe_len = jnp.where(n_len == 0.0, 1.0, n_len)
+        k_st = (-clap) / (n_len + 1e-6)
+        coef = params.surface_tension_coefficient
+        apply_st = n_len > params.surface_tension_threshold
+        fx = fx + jnp.where(apply_st, -coef * k_st * (cgx / safe_len), 0.0)
+        fy = fy + jnp.where(apply_st, -coef * k_st * (cgy / safe_len), 0.0)
 
     mu = params.viscosity_coefficient
     return fx, fy, gx_ * mu, gy_ * mu
@@ -231,7 +292,7 @@ def force_pass(grid: DenseGrid, dens_g, params: TickParams, h, sqr_radius,
 
 def dense_neighbor_forces(pred_s, vel_s, sorted_cells, settings: SimSettings,
                           params: TickParams, norms, frame,
-                          pallas: bool = False, dims=None):
+                          pallas: bool = False, dims=None, **variant_kw):
     """Full dense pipeline for sorted particle arrays.
 
     Returns (density[N], pressure_force[N,2], viscosity_force[N,2],
@@ -243,13 +304,16 @@ def dense_neighbor_forces(pred_s, vel_s, sorted_cells, settings: SimSettings,
     d, fpx, fpy, fvx, fvy, nd = dense_forces_cols(
         pred_s[:, 0], pred_s[:, 1], vel_s[:, 0], vel_s[:, 1], sorted_cells,
         settings, params, norms, frame, pallas=pallas, dims=dims,
+        **variant_kw,
     )
     return (d, jnp.stack([fpx, fpy], -1), jnp.stack([fvx, fvy], -1), nd)
 
 
 def dense_forces_cols(pxs, pys, vxs, vys, sorted_cells,
                       settings: SimSettings, params: TickParams, norms,
-                      frame, pallas: bool = False, dims=None):
+                      frame, pallas: bool = False, dims=None,
+                      surface_tension: bool = False,
+                      adaptive_subsampling: bool = False):
     """Column-form dense pipeline (all 1D particle arrays — the TPU layout
     that keeps scatters/gathers relayout-free).
 
@@ -275,12 +339,15 @@ def dense_forces_cols(pxs, pys, vxs, vys, sorted_cells,
         fx, fy, gx_, gy_ = psph.forces(
             grid, dens_g, params, settings.smoothing_radius,
             settings.sqr_radius, norms.spiky_derivative, norms.viscosity,
-            frame)
+            frame, surface_tension=surface_tension,
+            adaptive_subsampling=adaptive_subsampling)
     else:
         fx, fy, gx_, gy_ = force_pass(
             grid, dens_g, params, h, sqr_radius,
             jnp.float32(norms.spiky_derivative),
-            jnp.float32(norms.viscosity), frame)
+            jnp.float32(norms.viscosity), frame,
+            surface_tension=surface_tension,
+            adaptive_subsampling=adaptive_subsampling)
 
     # ONE wide row gather for the readback (cost ~ index count)
     stack = jnp.stack(

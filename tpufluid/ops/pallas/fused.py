@@ -86,6 +86,16 @@ def occ3_of(occ_row):
     return jnp.maximum(jnp.maximum(lo, occ), hi)
 
 
+def _roll_k_down(a, s, k):
+    """a[j] -> a[j - s] along the slot axis (0), zero-filled at the top."""
+    if _interpret():
+        r = jnp.roll(a, s, axis=0)
+    else:
+        r = pltpu.roll(a, s, axis=0)
+    kio = jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
+    return jnp.where(kio >= s, r, jnp.zeros_like(a))
+
+
 def _pred_rows(px, py, vx, vy, dt, half_x, half_y):
     """Clamped predicted positions (compute.wgsl:8-30), sentinel-preserving."""
     live = px < SENTINEL_HALF
@@ -114,8 +124,10 @@ def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
     opx, opy, ovx, ovy, oocc, ofar, oover = refs[-7:]
     rows = [refs[r * 4:(r + 1) * 4] for r in range(3)]
     dt = sc_ref[0]
-    off = off_ref[0]
     y = pl.program_id(0)
+    # per-row cell shift: sharded slabs subtract their global row offset;
+    # batched world stacks subtract -(world * Gy) (see rebin())
+    off = off_ref[y]
     gy = pl.num_programs(0)
     occ3s = jnp.maximum(
         jnp.maximum(occ_ref[jnp.maximum(y - 1, 0)], occ_ref[y]),
@@ -136,13 +148,23 @@ def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
         x_iota = jax.lax.broadcasted_iota(jnp.int32, (1, gx), 1)
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (k, gx), 0)
 
-        count = jnp.zeros((1, gx), jnp.int32)
-        out = [
-            jnp.full((k, gx), SENTINEL, jnp.float32),
-            jnp.full((k, gx), SENTINEL, jnp.float32),
-            jnp.zeros((k, gx), jnp.float32),
-            jnp.zeros((k, gx), jnp.float32),
-        ]
+        def excl_cumsum_k(mi):
+            """Exclusive prefix count along the slot axis, log-depth
+            (a single serial chain here was measured latency-bound: the
+            count recurrence serializes all 72 candidate sub-blocks)."""
+            c = mi
+            s = 1
+            while s < k:
+                sh = _roll_k_down(c, s, k)
+                c = c + sh
+                s *= 2
+            return c - mi
+
+        # Per-block destination slots: each of the 9 (row, dx) blocks
+        # computes its arrivals' ranks INDEPENDENTLY (9 parallel chains),
+        # serialized only through the cheap [1, Gx] block-prefix adds.
+        prior = jnp.zeros((1, gx), jnp.int32)
+        partials = []
         n_far = jnp.int32(0)
 
         for r in range(3):
@@ -183,24 +205,45 @@ def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
                 vys = _roll_x(vy_r, dx)
                 m_all = ((ncy_s == y) & lv_s & (ncx_s == x_iota)
                          & row_live)  # [K, Gx]
+                mi = m_all.astype(jnp.int32)
+                dest = excl_cumsum_k(mi) + prior  # absolute slot
+                prior = prior + jnp.sum(mi, axis=0, keepdims=True)
+                # partial output: this block's arrivals at their absolute
+                # slots (chain depth K per block, blocks independent)
+                po = [
+                    jnp.full((k, gx), SENTINEL, jnp.float32),
+                    jnp.full((k, gx), SENTINEL, jnp.float32),
+                    jnp.zeros((k, gx), jnp.float32),
+                    jnp.zeros((k, gx), jnp.float32),
+                ]
                 for kk in range(k):
-                    m = m_all[kk:kk + 1, :]
-                    onehot = (k_iota == count) & m
+                    onehot = (k_iota == dest[kk:kk + 1, :]) & m_all[kk:kk + 1, :]
                     cand = (pxs[kk:kk + 1, :], pys[kk:kk + 1, :],
                             vxs[kk:kk + 1, :], vys[kk:kk + 1, :])
                     for f in range(4):
-                        out[f] = jnp.where(onehot, cand[f], out[f])
-                    count = count + m.astype(jnp.int32)
+                        po[f] = jnp.where(onehot, cand[f], po[f])
+                partials.append(po)
 
-        over = jnp.sum(jnp.maximum(count - k, 0))
-        packed = jnp.minimum(count, k)
+        # tree-merge the 9 partials (absolute slots are disjoint)
+        while len(partials) > 1:
+            nxt = []
+            for i in range(0, len(partials) - 1, 2):
+                a, b = partials[i], partials[i + 1]
+                occ_b = b[0] < SENTINEL_HALF
+                nxt.append([jnp.where(occ_b, b[f], a[f]) for f in range(4)])
+            if len(partials) % 2:
+                nxt.append(partials[-1])
+            partials = nxt
+        out = partials[0]
+
+        count = prior
         opx[0] = out[0]
         opy[0] = out[1]
         ovx[0] = out[2]
         ovy[0] = out[3]
-        oocc[y] = jnp.max(packed)
+        oocc[y] = jnp.max(jnp.minimum(count, k))
         ofar[y] = n_far
-        oover[y] = over
+        oover[y] = jnp.sum(jnp.maximum(count - k, 0))
 
 
 def _small_out_spec():
@@ -210,7 +253,7 @@ def _small_out_spec():
 
 
 def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
-          row_offset=0):
+          row_offset=0, row_shift=None):
     """Re-pack grid slots by next-step predicted cell (sentinel encoding).
 
     All grids [Gy, K, Gxp] f32 with empty slots at position SENTINEL;
@@ -222,7 +265,9 @@ def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
     ``over_n`` (never silent — see ops.resident for the fallback/ledger).
 
     ``row_offset``: global row of local row 0 (sharded slabs,
-    tpufluid.parallel).
+    tpufluid.parallel). ``row_shift``: i32[Gy] per-row override — row y's
+    world-frame cell row is compared as ``cell_row - row_shift[y] == y``
+    (batched world stacks, ops.resident.make_batched_grid_step).
     """
     gy, k, gx = pos_x.shape
     h = float(settings.smoothing_radius)
@@ -238,7 +283,10 @@ def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
     )
     kernel = functools.partial(_rebin_kernel, consts)
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
-    off_arr = jnp.asarray(row_offset, jnp.int32).reshape(1)
+    if row_shift is None:
+        off_arr = jnp.full((gy,), row_offset, jnp.int32)
+    else:
+        off_arr = jnp.asarray(row_shift, jnp.int32).reshape(-1)
     fields = (pos_x, pos_y, vel_x, vel_y)
     f32 = jnp.float32
     outs = pl.pallas_call(
@@ -268,23 +316,25 @@ def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
 
 # --------------------------------------------------------------- density
 
-def _density_kernel(consts, sc_ref, occc_ref, occ3_ref, *refs):
+def _density_kernel(consts, sc_ref, wid_ref, occc_ref, occ3_ref, *refs):
     """pres = k*(rho - rho0) and 1/rho per slot (funcs.wgsl:157-203 +
     152-154), candidate loop bounded by occ3."""
     (h2, norm, k, gx) = consts
-    # sc: [mass, dt, k_pressure, rest_density, half_x, half_y]
+    # sc: [W, 6] = per-world [mass, dt, k_pressure, rest_density, half_x,
+    # half_y]; wid_ref: i32[Gy] world of each row (all 0 unbatched)
     pres_ref, invr_ref = refs[-3:-1]
     acc_ref = refs[-1]  # scratch [K, Gx]
     rows = [refs[r * 4:(r + 1) * 4] for r in range(3)]
     y = pl.program_id(0)
     occ_c = occc_ref[y]
     occ3 = occ3_ref[y]
-    mass = sc_ref[0]
-    dt = sc_ref[1]
-    kp_c = sc_ref[2]
-    rho0 = sc_ref[3]
-    half_x = sc_ref[4]
-    half_y = sc_ref[5]
+    w = wid_ref[y]
+    mass = sc_ref[w, 0]
+    dt = sc_ref[w, 1]
+    kp_c = sc_ref[w, 2]
+    rho0 = sc_ref[w, 3]
+    half_x = sc_ref[w, 4]
+    half_y = sc_ref[w, 5]
 
     # defaults: floor density everywhere (empty rows are only ever read as
     # excluded-by-range candidates; finite values keep the math NaN-free)
@@ -327,20 +377,28 @@ def _density_kernel(consts, sc_ref, occc_ref, occ3_ref, *refs):
 
 
 def density(pos_x, pos_y, vel_x, vel_y, occ_row, mass, dt, pressure_constant,
-            rest_density, settings):
-    """(pres, inv_rho)[Gy, K, Gx] from sentinel-encoded (pos, vel) grids."""
+            rest_density, settings, wid=None):
+    """(pres, inv_rho)[Gy, K, Gx] from sentinel-encoded (pos, vel) grids.
+
+    ``wid``: i32[Gy] world id per row for batched world stacks — scalar
+    args then carry a leading [W] dim (broadcast from scalars otherwise).
+    """
     gy, k, gx = pos_x.shape
     h_f = float(settings.smoothing_radius)
     consts = (h_f * h_f, 4.0 / (PI * h_f**8), k, gx)
     kernel = functools.partial(_density_kernel, consts)
-    sc = jnp.stack([
+    cols = [
         jnp.asarray(mass, jnp.float32),
         jnp.asarray(dt, jnp.float32),
         jnp.asarray(pressure_constant, jnp.float32),
         jnp.asarray(rest_density, jnp.float32),
         jnp.float32(settings.size[0] * 0.5),
         jnp.float32(settings.size[1] * 0.5),
-    ])
+    ]
+    n_worlds = max((c.ndim and c.shape[0]) or 1 for c in cols) if wid is not None else 1
+    sc = jnp.stack([jnp.broadcast_to(c, (n_worlds,)) for c in cols], axis=1)
+    if wid is None:
+        wid = jnp.zeros((gy,), jnp.int32)
     occ_row = jnp.asarray(occ_row, jnp.int32).reshape(-1)
     occ3 = occ3_of(occ_row)
     fields = (pos_x, pos_y, vel_x, vel_y)
@@ -348,7 +406,7 @@ def density(pos_x, pos_y, vel_x, vel_y, occ_row, mass, dt, pressure_constant,
     return pl.pallas_call(
         kernel,
         grid=(gy,),
-        in_specs=[_scalar_spec()] * 3 + _row_specs(gy, k, gx, 4),
+        in_specs=[_scalar_spec()] * 4 + _row_specs(gy, k, gx, 4),
         out_specs=(_out_spec(k, gx), _out_spec(k, gx)),
         out_shape=(
             jax.ShapeDtypeStruct((gy, k, gx), f32),
@@ -357,43 +415,57 @@ def density(pos_x, pos_y, vel_x, vel_y, occ_row, mass, dt, pressure_constant,
         scratch_shapes=[pltpu.VMEM((k, gx), f32)],
         interpret=_interpret(),
         name="sph_density_fused",
-    )(sc, occ_row, occ3, *fields, *fields, *fields)
+    )(sc, jnp.asarray(wid, jnp.int32), occ_row, occ3,
+      *fields, *fields, *fields)
 
 
 # ----------------------------------------------- forces + integration
 
-def _forces_kernel(consts, flags, sc_ref, frame_ref, occc_ref, occ3_ref,
-                   *refs):
+def _forces_kernel(consts, flags, sc_ref, frame_ref, wid_ref, occc_ref,
+                   occ3_ref, *refs):
     """Pressure + viscosity forces (compute.wgsl:160-299) fused with the
     full integration (compute.wgsl:95-155), candidate loop bounded by occ3.
-    Outputs the NEW (pos, vel) grids (sentinel-preserving)."""
+    Outputs the NEW (pos, vel) grids (sentinel-preserving).
+
+    Variant flags (static): surface tension (compute.wgsl:303-498, self
+    included) and adaptive subsampling (shaders/compute.wgsl:170-174,195,
+    pressure candidates strided 1/5/13 as self density crosses 150/200 —
+    the self density is recovered as 1/invr, so threshold crossings agree
+    with the [N] engines to f32 reciprocal rounding)."""
     (h, h2, sqr_radius, spiky_norm, visc_norm, k, gx) = consts
-    (wrap_x, has_ff) = flags
-    # refs: 18 field refs, [2 ff refs], 4 output refs, 5 scratch refs
-    if has_ff:
-        ffx_ref, ffy_ref = refs[-11:-9]
-    npx_ref, npy_ref, nvx_ref, nvy_ref = refs[-9:-5]
-    sfx_ref, sfy_ref, sgx_ref, sgy_ref, scc_ref = refs[-5:]
+    (wrap_x, has_ff, surface_tension, adaptive) = flags
+    # refs layout (front-based): 18 field refs, [2 ff refs], 4 output
+    # refs, 5 scratch refs, [3 surface-tension scratch refs]
     rows = [refs[r * 6:(r + 1) * 6] for r in range(3)]
+    idx = 18
+    if has_ff:
+        ffx_ref, ffy_ref = refs[idx:idx + 2]
+        idx += 2
+    npx_ref, npy_ref, nvx_ref, nvy_ref = refs[idx:idx + 4]
+    sfx_ref, sfy_ref, sgx_ref, sgy_ref, scc_ref = refs[idx + 4:idx + 9]
+    if surface_tension:
+        cgx_ref, cgy_ref, clap_ref = refs[idx + 9:idx + 12]
     y = pl.program_id(0)
     occ_c = occc_ref[y]
     occ3 = occ3_ref[y]
-    # sc: [dt, mu, grav_x, grav_y, damping, mouse_x, mouse_y, mouse_radius,
-    #      mouse_power, mouse_state, half_x, half_y]
-    dt = sc_ref[0]
-    mu = sc_ref[1]
-    grav_x = sc_ref[2]
-    grav_y = sc_ref[3]
-    damping = sc_ref[4]
-    mouse_x = sc_ref[5]
-    mouse_y = sc_ref[6]
-    mouse_radius = sc_ref[7]
-    mouse_power = sc_ref[8]
-    mouse_state = sc_ref[9]
-    half_x = sc_ref[10]
-    half_y = sc_ref[11]
-    ff_sx = sc_ref[12]  # pixel -> world scale, (bounds*2)/texture_size
-    ff_sy = sc_ref[13]
+    w = wid_ref[y]  # world of this row (0 unbatched)
+    # sc: [W, 17] per-world [dt, mu, grav_x, grav_y, damping, mouse_x,
+    # mouse_y, mouse_radius, mouse_power, mouse_state, half_x, half_y,
+    # ff_sx, ff_sy, mass, st_threshold, st_coefficient]
+    dt = sc_ref[w, 0]
+    mu = sc_ref[w, 1]
+    grav_x = sc_ref[w, 2]
+    grav_y = sc_ref[w, 3]
+    damping = sc_ref[w, 4]
+    mouse_x = sc_ref[w, 5]
+    mouse_y = sc_ref[w, 6]
+    mouse_radius = sc_ref[w, 7]
+    mouse_power = sc_ref[w, 8]
+    mouse_state = sc_ref[w, 9]
+    half_x = sc_ref[w, 10]
+    half_y = sc_ref[w, 11]
+    ff_sx = sc_ref[w, 12]  # pixel -> world scale, (bounds*2)/texture_size
+    ff_sy = sc_ref[w, 13]
     frame = frame_ref[0]
 
     npx_ref[0] = jnp.full((k, gx), SENTINEL, jnp.float32)
@@ -444,6 +516,28 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, occc_ref, occ3_ref,
         sgy_ref[...] = jnp.zeros((k, gx), jnp.float32)
         scc_ref[...] = jnp.zeros((k, gx), jnp.uint32)
 
+        if surface_tension:
+            st_grad_norm = -24.0 / (PI * h**8)
+            st_lap_norm = 8.0 / (PI * h**8)
+            # seed per compute.wgsl:406 from the PREDICTED x (the [N]
+            # engines' contract; WGSL u32(f32) saturates negatives to 0)
+            st_i = jnp.maximum(px0, 0.0).astype(jnp.int32)
+            st_seed = (_bitcast_u32(st_i) * jnp.uint32(324)
+                       + frame * jnp.uint32(5632))
+            st1 = _xorshift32(st_seed)
+            st2 = _xorshift32(st1)
+            strx = _u01(st1)
+            stry = _u01(st2)
+            strn = jnp.sqrt(strx * strx + stry * stry)
+            strn = jnp.where(strn == 0.0, 1.0, strn)
+            st_dx = strx / strn
+            st_dy = stry / strn
+            cgx_ref[...] = jnp.zeros((k, gx), jnp.float32)
+            cgy_ref[...] = jnp.zeros((k, gx), jnp.float32)
+            clap_ref[...] = jnp.zeros((k, gx), jnp.float32)
+        if adaptive:
+            rho_self = 1.0 / invr0
+
         for kp in range(k):
             @pl.when(kp < occ3)
             def _(kp=kp):
@@ -451,6 +545,10 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, occc_ref, occ3_ref,
                 fy = jnp.zeros((k, gx), jnp.float32)
                 gx_ = jnp.zeros((k, gx), jnp.float32)
                 gy_ = jnp.zeros((k, gx), jnp.float32)
+                if surface_tension:
+                    cg_x = jnp.zeros((k, gx), jnp.float32)
+                    cg_y = jnp.zeros((k, gx), jnp.float32)
+                    cl_ = jnp.zeros((k, gx), jnp.float32)
                 for r in range(3):
                     pr = rows[r]
                     nx_s, ny_s = _pred_rows(
@@ -473,13 +571,15 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, occc_ref, occ3_ref,
                         ddx = nx - px0
                         ddy = ny - py0
                         r2 = ddx * ddx + ddy * ddy
-                        dst = jnp.sqrt(r2)
+                        # one rsqrt replaces sqrt + divide (multi-pass VPU
+                        # ops); dst = r2 * rsqrt(r2) == sqrt(r2) to 1 ulp
+                        safe_r2 = jnp.where(r2 == 0.0, 1.0, r2)
+                        inv_dst = jax.lax.rsqrt(safe_r2)
+                        dst = r2 * inv_dst
                         in_range = r2 <= sqr_radius
                         if is_center:
                             in_range = in_range & (k_self != kp)
 
-                        safe = jnp.where(dst == 0.0, 1.0, dst)
-                        inv_dst = 1.0 / safe
                         dirx = ddx * inv_dst
                         diry = ddy * inv_dst
 
@@ -510,20 +610,54 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, occc_ref, occ3_ref,
                                 + coincident.astype(jnp.uint32))
 
                         shared_p = (p_self + p_nb) * 0.5
-                        kern_p = jnp.where(
-                            dst <= h, -(h - dst) * spiky_norm, 0.0)
+                        # the dst <= h gate is folded into in_range
+                        # (r2 <= h^2): they differ only in the 1-ulp
+                        # rounding sliver of dst = sqrt-ish(r2)
+                        kern_p = -(h - dst) * spiky_norm
+                        in_range_p = in_range
+                        if adaptive:
+                            # static kp => stride tests fold to constants
+                            c5 = jnp.float32(1.0 if kp % 5 == 0 else 0.0)
+                            c13 = jnp.float32(1.0 if kp % 13 == 0 else 0.0)
+                            sub = jnp.where(
+                                rho_self >= 200.0, c13,
+                                jnp.where(rho_self >= 150.0, c5, 1.0))
+                            in_range_p = in_range & (sub > 0.0)
                         wp = jnp.where(
-                            in_range, kern_p * shared_p * inv_rho, 0.0)
+                            in_range_p, kern_p * shared_p * inv_rho, 0.0)
                         fx = fx + dirx * wp
                         fy = fy + diry * wp
 
+                        if surface_tension:
+                            # self-pair INCLUDED (pairs.color_field_*)
+                            ok_st = r2 <= sqr_radius
+                            co_st = ok_st & (dst == 0.0)
+                            sdx = jnp.where(co_st, st_dx, dirx)
+                            sdy = jnp.where(co_st, st_dy, diry)
+                            rlen2 = sdx * sdx + sdy * sdy
+                            rlen = jnp.sqrt(rlen2)
+                            gdiff = h2 - rlen2
+                            gsc = jnp.where(
+                                (rlen >= h) | (rlen == 0.0), 0.0,
+                                jnp.float32(st_grad_norm) * gdiff * gdiff)
+                            m_rho = sc_ref[w, 14] * inv_rho
+                            cg_x = cg_x + jnp.where(
+                                ok_st, m_rho * gsc * sdx, 0.0)
+                            cg_y = cg_y + jnp.where(
+                                ok_st, m_rho * gsc * sdy, 0.0)
+                            lap = jnp.where(
+                                dst > h, 0.0,
+                                jnp.float32(st_lap_norm) * (h2 - r2)
+                                * (3.0 * h2 - 4.0 * r2))
+                            cl_ = cl_ + jnp.where(ok_st, m_rho * lap, 0.0)
+
                         # viscosity kernel (funcs.wgsl:112-123),
-                        # division-free form (ops.pallas.sph)
-                        kv = (r2 * safe * _c_neg_inv_2h3 + r2 * _c_inv_h2
+                        # division-free form (ops.pallas.sph); the
+                        # dst <= h gate is folded into in_range like kern_p
+                        kv = (r2 * dst * _c_neg_inv_2h3 + r2 * _c_inv_h2
                               + inv_dst * _c_half_h - 1.0)
                         if is_center:
                             kv = jnp.where(dst == 0.0, 1.0, kv)
-                        kv = jnp.where(dst <= h, kv, 0.0)
                         wv = jnp.where(in_range, kv * inv_rho, 0.0)
                         gx_ = gx_ + (nvx - vx0) * wv
                         gy_ = gy_ + (nvy - vy0) * wv
@@ -531,11 +665,29 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, occc_ref, occ3_ref,
                 sfy_ref[...] = sfy_ref[...] + fy
                 sgx_ref[...] = sgx_ref[...] + gx_
                 sgy_ref[...] = sgy_ref[...] + gy_
+                if surface_tension:
+                    cgx_ref[...] = cgx_ref[...] + cg_x
+                    cgy_ref[...] = cgy_ref[...] + cg_y
+                    clap_ref[...] = clap_ref[...] + cl_
 
         # ---- integration (compute.wgsl:95-155), fused ----
         visc_mu = jnp.float32(visc_norm) * mu
         accel_x = sfx_ref[...] + sgx_ref[...] * visc_mu
         accel_y = sfy_ref[...] + sgy_ref[...] * visc_mu
+        if surface_tension:
+            # pairs.surface_tension composition (compute.wgsl:303-315)
+            cgx = cgx_ref[...]
+            cgy = cgy_ref[...]
+            clap = clap_ref[...]
+            n_len = jnp.sqrt(cgx * cgx + cgy * cgy)
+            safe_len = jnp.where(n_len == 0.0, 1.0, n_len)
+            k_st = (-clap) / (n_len + 1e-6)
+            apply_st = n_len > sc_ref[w, 15]
+            coef = sc_ref[w, 16]
+            accel_x = accel_x + jnp.where(
+                apply_st, -coef * k_st * (cgx / safe_len), 0.0)
+            accel_y = accel_y + jnp.where(
+                apply_st, -coef * k_st * (cgy / safe_len), 0.0)
         vx = vx0 + accel_x * invr0 * dt + grav_x * dt
         vy = vy0 + accel_y * invr0 * dt + grav_y * dt
 
@@ -609,42 +761,60 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, occc_ref, occ3_ref,
 
 def forces_integrate(pos_x, pos_y, vel_x, vel_y, pres, invr, occ_row,
                      params, settings, frame, ff_cells=None,
-                     x_boundary="bounce"):
+                     x_boundary="bounce", surface_tension: bool = False,
+                     adaptive_subsampling: bool = False, wid=None):
     """One fused kernel: 3x3-stencil pressure+viscosity forces and the full
     integration. Returns (pos_x', pos_y', vel_x', vel_y').
 
     ``ff_cells``: optional (ffx, ffy) [Gy, Gxp] world-unit push-out vectors
     sampled at cell centers (see ops.resident.forcefield_cells).
+    Variant flags (static) per ops.dense.force_pass.
+    ``wid``: i32[Gy] world id per row for batched world stacks — params
+    fields then carry a leading [W] batch dim.
     """
     gy, k, gx = pos_x.shape
     norms = settings.kernel_norms()
     h_f = float(settings.smoothing_radius)
     consts = (h_f, h_f * h_f, float(settings.sqr_radius),
               float(norms.spiky_derivative), float(norms.viscosity), k, gx)
-    flags = (x_boundary == "wrap", ff_cells is not None)
+    flags = (x_boundary == "wrap", ff_cells is not None,
+             surface_tension, adaptive_subsampling)
     kernel = functools.partial(_forces_kernel, consts, flags)
-    sc = jnp.stack([
-        params.delta.astype(jnp.float32),
-        params.viscosity_coefficient.astype(jnp.float32),
-        params.gravity[0].astype(jnp.float32),
-        params.gravity[1].astype(jnp.float32),
-        params.damping_factor.astype(jnp.float32),
-        params.mouse_pos[0].astype(jnp.float32),
-        params.mouse_pos[1].astype(jnp.float32),
-        params.mouse_force_radius.astype(jnp.float32),
-        params.mouse_force_power.astype(jnp.float32),
-        params.mouse_state.astype(jnp.float32),
+    f32c = jnp.float32
+    mouse_pos = jnp.asarray(params.mouse_pos, jnp.float32)
+    gravity = jnp.asarray(params.gravity, jnp.float32)
+    cols = [
+        params.delta.astype(f32c),
+        params.viscosity_coefficient.astype(f32c),
+        gravity[..., 0],
+        gravity[..., 1],
+        params.damping_factor.astype(f32c),
+        mouse_pos[..., 0],
+        mouse_pos[..., 1],
+        params.mouse_force_radius.astype(f32c),
+        params.mouse_force_power.astype(f32c),
+        params.mouse_state.astype(f32c),
         jnp.float32(settings.size[0] * 0.5),
         jnp.float32(settings.size[1] * 0.5),
         jnp.float32(2.0 * settings.size[0] / settings.texture_size[0]),
         jnp.float32(2.0 * settings.size[1] / settings.texture_size[1]),
-    ])
+        params.mass.astype(f32c),
+        params.surface_tension_threshold.astype(f32c),
+        params.surface_tension_coefficient.astype(f32c),
+    ]
+    n_worlds = (max((c.ndim and c.shape[0]) or 1 for c in cols)
+                if wid is not None else 1)
+    sc = jnp.stack(
+        [jnp.broadcast_to(c, (n_worlds,)) for c in cols], axis=1)
+    if wid is None:
+        wid = jnp.zeros((gy,), jnp.int32)
     fr = jnp.asarray(frame, jnp.uint32).reshape(1)
     occ_row = jnp.asarray(occ_row, jnp.int32).reshape(-1)
     occ3 = occ3_of(occ_row)
     fields = (pos_x, pos_y, vel_x, vel_y, pres, invr)
-    in_specs = ([_scalar_spec()] * 4 + _row_specs(gy, k, gx, 6))
-    args = [sc, fr, occ_row, occ3, *fields, *fields, *fields]
+    in_specs = ([_scalar_spec()] * 5 + _row_specs(gy, k, gx, 6))
+    args = [sc, fr, jnp.asarray(wid, jnp.int32), occ_row, occ3,
+            *fields, *fields, *fields]
     if ff_cells is not None:
         ffx, ffy = ff_cells
         args += [ffx.reshape(gy, 1, gx), ffy.reshape(gy, 1, gx)]
@@ -659,11 +829,11 @@ def forces_integrate(pos_x, pos_y, vel_x, vel_y, pres, invr, occ_row,
         out_specs=tuple(_out_spec(k, gx) for _ in range(4)),
         out_shape=tuple(
             jax.ShapeDtypeStruct((gy, k, gx), f32) for _ in range(4)),
-        scratch_shapes=[
-            pltpu.VMEM((k, gx), f32), pltpu.VMEM((k, gx), f32),
-            pltpu.VMEM((k, gx), f32), pltpu.VMEM((k, gx), f32),
-            pltpu.VMEM((k, gx), jnp.uint32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((k, gx), f32)] * 4
+            + [pltpu.VMEM((k, gx), jnp.uint32)]
+            + ([pltpu.VMEM((k, gx), f32)] * 3 if surface_tension else [])
+        ),
         interpret=_interpret(),
         name="sph_forces_integrate_fused",
     )(*args)

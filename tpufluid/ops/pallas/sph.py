@@ -145,10 +145,12 @@ def _u01(x):
     return xf / jnp.float32(4294967296.0)
 
 
-def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm,
+def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm, flags,
                    sc_ref, frame_ref, *refs):
-    # sc_ref: f32[3] = (pressure_constant, rest_density, mu); frame: u32[1]
+    # sc_ref: f32[6] = (pressure_constant, rest_density, mu, mass,
+    #                   st_threshold, st_coefficient); frame: u32[1]
     # refs: 3 rows x (px, py, vx, vy, valid_f, dens), then fx, fy, gx, gy
+    surface_tension, adaptive = flags
     fx_ref, fy_ref, gx_ref, gy_ref = refs[-4:]
     rows = [refs[r * 6:(r + 1) * 6] for r in range(3)]
     px0, py0, vx0, vy0, v0, d0 = (r[0] for r in rows[1])
@@ -195,6 +197,26 @@ def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm,
     coinc_count = jnp.zeros(px0.shape, jnp.uint32)
 
     v0_live = v0 > 0.0  # hoisted: invariant across the candidate loops
+
+    if surface_tension:
+        # color-field accumulators (compute.wgsl:303-498); seed per
+        # compute.wgsl:406 (WGSL u32(f32) saturates negatives to 0)
+        st_grad_norm = -24.0 / (PI * h**8)
+        st_lap_norm = 8.0 / (PI * h**8)
+        st_i = jnp.maximum(px0, 0.0).astype(jnp.int32)
+        st_seed = (_bitcast_u32(st_i) * jnp.uint32(324)
+                   + frame * jnp.uint32(5632))
+        s1 = _xorshift32(st_seed)
+        s2 = _xorshift32(s1)
+        strx = _u01(s1)
+        stry = _u01(s2)
+        strn = jnp.sqrt(strx * strx + stry * stry)
+        strn = jnp.where(strn == 0.0, 1.0, strn)
+        st_dx = strx / strn
+        st_dy = stry / strn
+        cgx = jnp.zeros_like(px0)
+        cgy = jnp.zeros_like(px0)
+        clap = jnp.zeros_like(px0)
 
     for row in range(3):
         px_r, py_r, vx_r, vy_r, v_r, d_r = (r[0] for r in rows[row])
@@ -257,7 +279,18 @@ def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm,
                 shared_p = (p_self + p_nb) * 0.5
                 kern_p = jnp.where(dst <= h, -(h - dst) * spiky_norm, 0.0)
                 inv_rho = 1.0 / jnp.where(ndk == 0.0, 1.0, ndk)
-                wp = jnp.where(in_range, kern_p * shared_p * inv_rho, 0.0)
+                in_range_p = in_range
+                if adaptive:
+                    # stride the cell run by 1/5/13 as the SELF density
+                    # crosses 150/200 (shaders/compute.wgsl:170-174,195);
+                    # the slot index IS the rank in the cell, and kp is
+                    # static, so the stride test folds to constants
+                    c5 = jnp.float32(1.0 if kp % 5 == 0 else 0.0)
+                    c13 = jnp.float32(1.0 if kp % 13 == 0 else 0.0)
+                    sub = jnp.where(d0 >= 200.0, c13,
+                                    jnp.where(d0 >= 150.0, c5, 1.0))
+                    in_range_p = in_range & (sub > 0.0)
+                wp = jnp.where(in_range_p, kern_p * shared_p * inv_rho, 0.0)
                 fx = fx + dirx * wp
                 fy = fy + diry * wp
 
@@ -273,26 +306,65 @@ def _forces_kernel(h, h2, sqr_radius, spiky_norm, visc_norm,
                 gx_ = gx_ + (nvx[kp:kp + 1, :] - vx0) * wv
                 gy_ = gy_ + (nvy[kp:kp + 1, :] - vy0) * wv
 
+                if surface_tension:
+                    # self-pair INCLUDED (pairs.color_field_* contract)
+                    ok_st = ((nv[kp:kp + 1, :] > 0.0) & v0_live
+                             & (r2 <= sqr_radius))
+                    co_st = ok_st & (dst == 0.0)
+                    sdx = jnp.where(co_st, st_dx, dirx)
+                    sdy = jnp.where(co_st, st_dy, diry)
+                    rlen2 = sdx * sdx + sdy * sdy
+                    rlen = jnp.sqrt(rlen2)
+                    gdiff = h2 - rlen2
+                    gsc = jnp.where(
+                        (rlen >= h) | (rlen == 0.0), 0.0,
+                        jnp.float32(st_grad_norm) * gdiff * gdiff)
+                    m_rho = sc_ref[3] * inv_rho
+                    cgx = cgx + jnp.where(ok_st, m_rho * gsc * sdx, 0.0)
+                    cgy = cgy + jnp.where(ok_st, m_rho * gsc * sdy, 0.0)
+                    lap = jnp.where(
+                        dst > h, 0.0,
+                        jnp.float32(st_lap_norm) * (h2 - r2)
+                        * (3.0 * h2 - 4.0 * r2))
+                    clap = clap + jnp.where(ok_st, m_rho * lap, 0.0)
+
+    if surface_tension:
+        # pairs.surface_tension composition (compute.wgsl:303-315)
+        n_len = jnp.sqrt(cgx * cgx + cgy * cgy)
+        safe_len = jnp.where(n_len == 0.0, 1.0, n_len)
+        k_st = (-clap) / (n_len + 1e-6)
+        apply_st = n_len > sc_ref[4]
+        coef = sc_ref[5]
+        fx = fx + jnp.where(apply_st, -coef * k_st * (cgx / safe_len), 0.0)
+        fy = fy + jnp.where(apply_st, -coef * k_st * (cgy / safe_len), 0.0)
+
     fx_ref[0] = fx
     fy_ref[0] = fy
     gx_ref[0] = gx_ * mu
     gy_ref[0] = gy_ * mu
 
 
-def forces(grid, dens_g, params, h, sqr_radius, spiky_norm, visc_norm, frame):
+def forces(grid, dens_g, params, h, sqr_radius, spiky_norm, visc_norm, frame,
+           surface_tension: bool = False, adaptive_subsampling: bool = False):
     """(fx, fy, gx, gy)[Gy, K, Gx] pressure / viscosity forces.
 
     ``h``/``sqr_radius``/norms static floats; params fields + frame traced.
+    Variant flags (static) per ops.dense.force_pass; surface tension is
+    folded into (fx, fy).
     """
     gy, k, gx = grid.px.shape
     vf = grid.valid.astype(jnp.float32)
     kernel = functools.partial(
         _forces_kernel, float(h), float(h) ** 2,
-        float(sqr_radius), float(spiky_norm), float(visc_norm))
+        float(sqr_radius), float(spiky_norm), float(visc_norm),
+        (surface_tension, adaptive_subsampling))
     sc = jnp.stack([
         params.pressure_constant.astype(jnp.float32),
         params.rest_density.astype(jnp.float32),
         params.viscosity_coefficient.astype(jnp.float32),
+        params.mass.astype(jnp.float32),
+        params.surface_tension_threshold.astype(jnp.float32),
+        params.surface_tension_coefficient.astype(jnp.float32),
     ])
     fr = jnp.asarray(frame, jnp.uint32).reshape(1)
     fields = (grid.px, grid.py, grid.vx, grid.vy, vf, dens_g)

@@ -171,7 +171,10 @@ def forcefield_cells(forcefield: jax.Array, settings: SimSettings,
 
 def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
                    x_boundary: str = "bounce",
-                   has_force_field: bool = False):
+                   has_force_field: bool = False,
+                   surface_tension: bool = False,
+                   adaptive_subsampling: bool = False,
+                   n_worlds: int = 1):
     """Jitted resident step: ``step(gs, params[, forcefield]) -> GridState``.
 
     CAPACITY SIZING MATTERS under gravity: the EOS p = k*rho makes a fluid
@@ -185,20 +188,39 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
     k = settings.cell_capacity
     gy = settings.grid_h
     grid_w = settings.grid_w
+    gy_total = gy * n_worlds
     h_inv = 1.0 / settings.smoothing_radius
     if far_capacity is None:
         # impact phases can fling thousands of >1-cell movers in one step
-        far_capacity = max(4096, (gy * k * gxp) // 128)
+        far_capacity = max(4096, (gy_total * k * gxp) // 128)
+    if n_worlds > 1 and has_force_field:
+        raise NotImplementedError(
+            "obstacle force fields are not supported in batched "
+            "(n_worlds > 1) resident mode yet")
+    # batched world stacks: each world's grid rows already end in the
+    # empty sentinel ring, so worlds stack directly along the row axis
+    # with zero cross-talk; only the cell-row comparison frame (row_shift)
+    # and the per-world scalar lookup (wid) change.
+    if n_worlds > 1:
+        wid = jnp.repeat(jnp.arange(n_worlds, dtype=jnp.int32), gy)
+        row_shift = -(wid * gy)
+    else:
+        wid = None
+        row_shift = None
 
     def step(gs: GridState, params: TickParams,
              forcefield: Optional[jax.Array] = None) -> GridState:
         frame = gs.tick + jnp.uint32(1)
         dt = params.delta
+        if n_worlds > 1 and dt.ndim != 0:
+            raise ValueError(
+                "batched resident mode shares one delta across worlds "
+                "(pass a scalar); gravity/viscosity/etc. may be [B]")
 
         # 1. re-bin by next predicted cell (Pallas; local moves)
         px, py, vx, vy, occ_row, far_n, over_n = fused.rebin(
             gs.pos_x, gs.pos_y, gs.vel_x, gs.vel_y, gs.occ_row, dt,
-            settings)
+            settings, row_shift=row_shift)
         n_far = jnp.sum(far_n)
         n_over = jnp.sum(over_n)
 
@@ -218,6 +240,9 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
                 1, gy - 2)
             scx = jax.lax.broadcasted_iota(jnp.int32, gs.pos_x.shape, 2)
             scy = jax.lax.broadcasted_iota(jnp.int32, gs.pos_x.shape, 0)
+            if n_worlds > 1:
+                # world-local cell row -> absolute stacked row
+                ncy = ncy + (scy // gy) * gy
             far = (gs.pos_x < SENTINEL_HALF) & (
                 (jnp.abs(ncy - scy) > 1) | (jnp.abs(ncx - scx) > 1))
             far_flat = far.reshape(-1)
@@ -245,7 +270,7 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
             rank = ranks(tcell_s)
             occ_cell = jnp.sum(
                 (px < SENTINEL_HALF).astype(jnp.int32), axis=1)  # [Gy, Gxp]
-            cy2 = jnp.clip(tcell_s // grid_w, 0, gy - 1)
+            cy2 = jnp.clip(tcell_s // grid_w, 0, gy_total - 1)
             cx2 = jnp.clip(tcell_s % grid_w, 0, gxp - 1)
             base = occ_cell.reshape(-1)[cy2 * gxp + cx2]
             slot = base + rank
@@ -273,7 +298,8 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
         # two fused occupancy-aware Pallas kernels
         pres, invr = fused.density(
             px, py, vx, vy, occ_row, params.mass, dt,
-            params.pressure_constant, params.rest_density, settings)
+            params.pressure_constant, params.rest_density, settings,
+            wid=wid)
         ff_cells = None
         if has_force_field:
             if forcefield is None:
@@ -282,7 +308,9 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
             ff_cells = forcefield_cells(forcefield, settings, gxp)
         npx, npy, nvx, nvy = fused.forces_integrate(
             px, py, vx, vy, pres, invr, occ_row, params, settings, frame,
-            ff_cells=ff_cells, x_boundary=x_boundary)
+            ff_cells=ff_cells, x_boundary=x_boundary,
+            surface_tension=surface_tension,
+            adaptive_subsampling=adaptive_subsampling, wid=wid)
 
         return GridState(
             pos_x=npx, pos_y=npy, vel_x=nvx, vel_y=nvy,
@@ -316,3 +344,47 @@ def make_grid_multi_step(settings: SimSettings, n_steps: int, **kw):
         out, _ = lax.scan(body, gs, None, length=n_steps)
         return out
     return run
+
+
+# ------------------------------------------------------------- batching
+# BASELINE config 4: B independent worlds with differing per-tick params,
+# stepped by ONE set of fused kernels. Worlds stack along the grid-row
+# axis (each world's sentinel ring separates it from its neighbors), so
+# kernel cost scales with total rows — no vmap, no per-world dispatch.
+
+def init_batched_grid_state(settings: SimSettings,
+                            n_worlds: int) -> GridState:
+    """The reference spawn lattice replicated into a B-world row stack."""
+    gs = init_grid_state(settings)
+    return GridState(
+        pos_x=jnp.tile(gs.pos_x, (n_worlds, 1, 1)),
+        pos_y=jnp.tile(gs.pos_y, (n_worlds, 1, 1)),
+        vel_x=jnp.tile(gs.vel_x, (n_worlds, 1, 1)),
+        vel_y=jnp.tile(gs.vel_y, (n_worlds, 1, 1)),
+        occ_row=jnp.tile(gs.occ_row, (n_worlds,)),
+        tick=gs.tick, lost=gs.lost,
+    )
+
+
+def batched_params(param_list) -> TickParams:
+    """Stack B TickParams into one with a leading [B] dim on every field
+    EXCEPT delta, which must be shared (scalar) across worlds."""
+    import numpy as _np
+    d0 = _np.asarray(param_list[0].delta)
+    for p in param_list[1:]:
+        if not _np.array_equal(_np.asarray(p.delta), d0):
+            raise ValueError("batched worlds must share delta")
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *param_list)
+    stacked.delta = param_list[0].delta
+    return stacked
+
+
+def world_state(gs: GridState, settings: SimSettings, w: int) -> GridState:
+    """Slice world ``w`` out of a batched row stack."""
+    gy = settings.grid_h
+    sl = slice(w * gy, (w + 1) * gy)
+    return GridState(
+        pos_x=gs.pos_x[sl], pos_y=gs.pos_y[sl],
+        vel_x=gs.vel_x[sl], vel_y=gs.vel_y[sl],
+        occ_row=gs.occ_row[sl], tick=gs.tick, lost=gs.lost,
+    )

@@ -92,6 +92,44 @@ class SimSettings:
         return KernelNorms.from_radius(self.smoothing_radius)
 
 
+def suggest_cell_capacity(settings: SimSettings, params=None,
+                          safety: float = 1.5) -> int:
+    """Cell capacity that keeps the bounded-capacity engines loss-free.
+
+    The reference's per-cell loops are unbounded (compute.wgsl:182-229), so
+    it never sheds mass; the TPU engines bound per-cell work by
+    ``cell_capacity`` and must be sized for the scene's true peak
+    occupancy. Model: the spawn lattice packs ``(h / spacing)^2`` particles
+    per cell; under gravity the fluid settles into a pool of height
+    ``H = N * spacing^2 / size_x`` whose floor occupancy grows
+    ~``exp(c * g * H / k)`` with the linear EOS ``p = k rho``
+    (funcs.wgsl:152-154). ``c = 0.55`` is calibrated: a g=-9.8, k=50
+    dam-break (gH/k = 3.7) measured ~28/cell = 7x rest occupancy
+    (SimSettings.cell_capacity docstring), i.e. e^(0.55 * 3.7). The
+    exponent is capped at 3 (20x): beyond that the bounded engines are the
+    wrong tool — use neighbor_mode='grid', whose windows follow the sorted
+    array.
+
+    The round-1 g=2 soak that silently lost 99% at capacity 8 gets 56
+    here; undersized scenes now refuse loudly (FluidApp strict_capacity)
+    instead of shedding mass.
+    """
+    occ0 = max(1.0, (settings.smoothing_radius
+                     / settings.particle_spacing) ** 2)
+    g = 0.0
+    kp = 50.0
+    if params is not None:
+        g = float(max(abs(float(params.gravity[0])),
+                      abs(float(params.gravity[1]))))
+        kp = float(params.pressure_constant)
+    pool_h = min(settings.particle_count * settings.particle_spacing ** 2
+                 / settings.size[0], settings.size[1])
+    factor = math.exp(min(0.55 * g * pool_h / max(kp, EPSILON), 3.0))
+    cap = int(math.ceil(occ0 * factor * safety))
+    # round up to the 8-sublane tile height the Pallas kernels block on
+    return max(8, -(-cap // 8) * 8)
+
+
 @dataclasses.dataclass(frozen=True)
 class KernelNorms:
     """2D SPH kernel normalization constants.

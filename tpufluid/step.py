@@ -174,10 +174,6 @@ def make_step(settings: SimSettings, *, neighbor_mode: str = "grid",
         raise ValueError(f"unknown neighbor_mode {neighbor_mode!r}")
     if x_boundary not in ("bounce", "wrap"):
         raise ValueError(f"unknown x_boundary {x_boundary!r}")
-    if neighbor_mode in ("dense", "pallas") and (
-            surface_tension or adaptive_subsampling):
-        raise ValueError(
-            "surface_tension/adaptive_subsampling need neighbor_mode='grid'")
 
     norms = settings.kernel_norms()
     h = jnp.float32(settings.smoothing_radius)
@@ -214,6 +210,8 @@ def make_step(settings: SimSettings, *, neighbor_mode: str = "grid",
             dens, fpx, fpy, fvx, fvy, _ = denseops.dense_forces_cols(
                 pxs, pys, vxs, vys, binning.sorted_cells, settings, params,
                 norms, frame, pallas=(neighbor_mode == "pallas"),
+                surface_tension=surface_tension,
+                adaptive_subsampling=adaptive_subsampling,
             )
             accel = jnp.stack([fpx + fvx, fpy + fvy], axis=-1)
             pred_sc = g6[:, 0:2]
@@ -257,7 +255,9 @@ def make_step(settings: SimSettings, *, neighbor_mode: str = "grid",
         # prng.position_seed) + frame salt, cf. compute.wgsl:161
         rand_seed = prng.position_seed(pred_s) + frame * jnp.uint32(69)
         nb_valid_pressure = nb_valid
-        if adaptive_subsampling and neighbor_mode == "grid":
+        if adaptive_subsampling:
+            # applies in naive mode too: candidates are in sorted order, so
+            # the rank-in-cell stride is identical to the windowed path
             # stride each cell run by 1/5/13 as the querying particle's
             # density crosses 150/200 (shaders/compute.wgsl:170-174,195)
             inc = (
@@ -285,9 +285,12 @@ def make_step(settings: SimSettings, *, neighbor_mode: str = "grid",
         accel = f_pressure + f_viscosity
         if surface_tension:
             # Optional: the reference implements this but leaves the call
-            # commented out (compute.wgsl:92); seed per compute.wgsl:406.
+            # commented out (compute.wgsl:92); seed per compute.wgsl:406 —
+            # WGSL u32(f32) saturates negatives to 0, made explicit here so
+            # every engine (XLA grid/dense, Pallas) computes the same seed.
             st_seed = (
-                pred_s[:, 0].astype(jnp.uint32) * jnp.uint32(324)
+                jnp.maximum(pred_s[:, 0], 0.0).astype(jnp.int32)
+                .astype(jnp.uint32) * jnp.uint32(324)
                 + frame * jnp.uint32(5632)
             )
             accel = accel + pairs.surface_tension(
