@@ -25,14 +25,16 @@ def _sync(tree):
     """Force completion with a scalar device->host fetch.
 
     jax.block_until_ready can return early over the axon stdio tunnel
-    (measured: a 22-TFLOP matmul scan "completed" in 0.4 ms); fetching one
-    element of the result is a true sync.
+    (measured: a 22-TFLOP matmul scan "completed" in 0.4 ms); fetching a
+    scalar derived from the result is a true sync. The on-device max
+    reduction (instead of indexing one element) keeps this valid for
+    sharded arrays, where a bare gather's output sharding is ambiguous.
     """
     import jax
     import jax.numpy as jnp
 
     leaf = jax.tree.leaves(tree)[0]
-    return float(jnp.asarray(leaf).ravel()[0])
+    return float(jnp.max(leaf))
 
 
 def _warm_fetch():
@@ -138,30 +140,32 @@ def run_configs(which=None, out=sys.stdout, mode="resident"):
         record("config3_256k", r)
     if wants(4):
         r = bench_step(models.scene_1m(), neighbor_mode=mode)
-        # vmap batch: 8 independent 128k scenes (1M particles total) with
-        # differing gravity/viscosity
+        # batch: 8 independent 128k worlds (1M particles total) with
+        # differing gravity/viscosity, stacked along the grid-row axis on
+        # the resident fast path (ops.resident n_worlds — no vmap, one
+        # kernel pass)
         import numpy as np
         from tpufluid import SimSettings
-        from tpufluid.models import Scene
         from tpufluid.params import TickParams
-        scene = Scene(
-            name="sph-128k-batch",
-            settings=SimSettings(
-                particle_count=131072, particle_spacing=0.1,
-                smoothing_radius=0.2, size=(38.0, 38.0), cell_capacity=8),
-            params=TickParams.default(),
-        )
-        gravities = [(0.0, -g) for g in np.linspace(0.0, 2.0, 8)]
-        viscosities = list(np.linspace(5.0, 40.0, 8))
-        # vmap composes with the XLA dense path (Pallas SMEM scalars don't
-        # batch); resident has its own state type
-        bstate, bparams, bstep = models.batch_scenes(
-            scene, gravities, viscosities,
-            neighbor_mode="dense" if mode in ("resident", "pallas") else mode)
-        sec, _ = _timeit(bstep, bstate, bparams, warmup=2, iters=5)
-        r["vmap8x128k_ms_per_step"] = sec * 1e3
-        r["vmap8x128k_particle_steps_per_sec"] = (
-            8 * scene.settings.particle_count / sec)
+        from tpufluid.ops import resident as res
+        B = 8
+        bsettings = SimSettings(
+            particle_count=131072, particle_spacing=0.1,
+            smoothing_radius=0.2, size=(38.0, 38.0), cell_capacity=8)
+        plist = [
+            TickParams.default(gravity=(0.0, -g), viscosity_coefficient=v)
+            for g, v in zip(np.linspace(0.0, 2.0, B),
+                            np.linspace(5.0, 40.0, B))
+        ]
+        bp = res.batched_params(plist)
+        burst = 10
+        brun = res.make_grid_multi_step(bsettings, burst, n_worlds=B)
+        bgs = res.init_batched_grid_state(bsettings, B)
+        sec, _ = _timeit(brun, bgs, bp, warmup=2, iters=5)
+        sec /= burst
+        r["batch8x128k_ms_per_step"] = sec * 1e3
+        r["batch8x128k_particle_steps_per_sec"] = (
+            B * bsettings.particle_count / sec)
         record("config4_1m", r)
     if wants(5):
         if jax.device_count() >= 2:
@@ -173,42 +177,154 @@ def run_configs(which=None, out=sys.stdout, mode="resident"):
     return results
 
 
-def bench_sharded():
-    import jax
-    import numpy as np
-    from tpufluid import SimSettings, TickParams
-    from tpufluid.parallel import (
-        build_shard_spec, init_sharded, make_sharded_step)
+def bench_sharded(mode="resident", n=None, iters=10):
+    """Config 5: multi-chip throughput on whatever devices exist.
 
+    mode 'resident' rides the fast-path row-band sharding
+    (tpufluid.parallel.make_sharded_resident_step); 'dense' keeps the
+    round-1 column-slab dense path for comparison.
+    """
+    import jax
+    from tpufluid import SimSettings, TickParams
+
+    import math
     d = jax.device_count()
-    n = 4_194_304 if d >= 8 else 524_288 * d
+    if n is None:
+        n = 4_194_304 if d >= 8 else 524_288 * d
+    side = round(424.0 * math.sqrt(n / 4_194_304), 1)
     settings = SimSettings(
         particle_count=n, particle_spacing=0.1, smoothing_radius=0.2,
-        size=(424.0, 424.0), cell_capacity=16,
+        size=(side, side), cell_capacity=16,
     )
-    spec = build_shard_spec(settings, d)
-    step = make_sharded_step(spec, neighbor_mode="dense")
-    state = init_sharded(spec)
     params = TickParams.default()
+    if mode == "resident":
+        from tpufluid.parallel import (
+            build_resident_spec, init_sharded_resident,
+            make_sharded_resident_step)
+        spec = build_resident_spec(settings, d)
+        step = make_sharded_resident_step(spec)
+        state = init_sharded_resident(spec)
+    else:
+        from tpufluid.parallel import (
+            build_shard_spec, init_sharded, make_sharded_step)
+        spec = build_shard_spec(settings, d)
+        step = make_sharded_step(spec, neighbor_mode="dense")
+        state = init_sharded(spec)
 
     def fn(st, p):
         new, _ = step(st, p)
         return new
 
-    sec, _ = _timeit(fn, state, params, warmup=2, iters=10)
+    sec, _ = _timeit(fn, state, params, warmup=2, iters=iters)
     return dict(
-        config=f"sharded-{d}dev", particles=n, ms_per_step=sec * 1e3,
+        config=f"sharded-{d}dev-{mode}", particles=n, ms_per_step=sec * 1e3,
         particle_steps_per_sec=n / sec, devices=d,
     )
+
+
+def run_parity(steps_short=10, steps_long=200, n=16384, out_path="PARITY.json"):
+    """On-device engine parity artifact (VERDICT r1 item 6): every engine
+    COMPILED on the real backend (not interpreter mode).
+
+    Short horizon: grid/dense/pallas trajectories allclose and resident
+    nearest-neighbor-close to dense (SPH is chaotic — f32 reduction-order
+    differences amplify exponentially, so tolerance parity is only
+    meaningful over a short window; same criteria as tests/).
+    Long horizon: per-engine invariants — mass conserved exactly, finite,
+    in-bounds, kinetic energy within 10% across engines.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from tpufluid import SimSettings, TickParams, init_state, make_multi_step
+    from tpufluid.ops import resident
+
+    s = SimSettings(particle_count=n, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(26.0, 26.0),
+                    cell_capacity=32)
+    params = TickParams.default(gravity=(0.0, -9.8))
+    report = {"backend": jax.default_backend(), "n": n, "checks": {}}
+    ok_all = True
+
+    def check(name, cond, detail=""):
+        nonlocal ok_all
+        report["checks"][name] = {"ok": bool(cond), "detail": detail}
+        ok_all = ok_all and bool(cond)
+
+    _warm_fetch()
+    # --- short horizon: trajectory parity
+    outs = {}
+    for mode in ("grid", "dense", "pallas"):
+        run = make_multi_step(s, steps_short, neighbor_mode=mode)
+        outs[mode] = np.asarray(run(init_state(s), params).position)
+    d = np.abs(np.sort(outs["grid"], 0) - np.sort(outs["dense"], 0)).max()
+    check("grid_vs_dense_10step", d < 1e-4, f"max|dpos|={d:.2e}")
+    d = np.abs(np.sort(outs["pallas"], 0) - np.sort(outs["dense"], 0)).max()
+    check("pallas_vs_dense_10step", d < 1e-4, f"max|dpos|={d:.2e}")
+
+    rrun = resident.make_grid_multi_step(s, steps_short)
+    gs = rrun(resident.init_grid_state(s), params)
+    ps, live = resident.to_particles(gs, s)
+    check("resident_mass_10step", int(live) == n and int(gs.lost) == 0,
+          f"live={int(live)} lost={int(gs.lost)}")
+    try:
+        from scipy.spatial import cKDTree
+        dd, _ = cKDTree(outs["dense"]).query(np.asarray(ps.position)[:n])
+        check("resident_vs_dense_10step", dd.max() < 1e-3,
+              f"max nn dist={dd.max():.2e}")
+    except ImportError:
+        pass
+
+    # --- long horizon: invariants per engine
+    energies = {}
+    for mode in ("dense", "resident"):
+        if mode == "resident":
+            run = resident.make_grid_multi_step(s, steps_long)
+            gs = run(resident.init_grid_state(s), params)
+            st, live = resident.to_particles(gs, s)
+            check(f"{mode}_mass_{steps_long}step",
+                  int(live) == n and int(gs.lost) == 0,
+                  f"live={int(live)} lost={int(gs.lost)}")
+            pos = np.asarray(st.position)[:n]
+            vel = np.asarray(st.velocity)[:n]
+        else:
+            run = make_multi_step(s, steps_long, neighbor_mode=mode)
+            st = run(init_state(s), params)
+            pos = np.asarray(st.position)
+            vel = np.asarray(st.velocity)
+        finite = np.all(np.isfinite(pos)) and np.all(np.isfinite(vel))
+        inb = np.all(np.abs(pos) <= 13.0 + 1e-4)
+        check(f"{mode}_sane_{steps_long}step", finite and inb,
+              f"finite={finite} in_bounds={inb}")
+        energies[mode] = float(0.5 * (vel ** 2).sum())
+    rel = abs(energies["resident"] - energies["dense"]) / max(
+        energies["dense"], 1e-9)
+    check(f"energy_within_10pct_{steps_long}step", rel < 0.10,
+          f"dense={energies['dense']:.4g} resident={energies['resident']:.4g}"
+          f" rel={rel:.3f}")
+
+    report["ok"] = ok_all
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"metric": "engine_parity", "value": int(ok_all),
+                      "unit": "bool", "vs_baseline": float(ok_all),
+                      "backend": report["backend"]}))
+    return ok_all
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="full ladder to stderr")
+    ap.add_argument("--parity", action="store_true",
+                    help="compiled engine-parity artifact -> PARITY.json")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--neighbor-mode", default="resident",
                     choices=("grid", "dense", "pallas", "resident"))
     args = ap.parse_args()
+
+    if args.parity:
+        ok = run_parity()
+        sys.exit(0 if ok else 1)
 
     if args.all:
         run_configs(None, out=sys.stderr)

@@ -3,6 +3,12 @@
     python examples/dam_break.py
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from tpufluid import SimSettings, TickParams
 from tpufluid.app import FluidApp
 

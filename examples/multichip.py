@@ -6,6 +6,12 @@ Runs on real multi-chip hardware or, as here, on virtual CPU devices:
         python examples/multichip.py
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 

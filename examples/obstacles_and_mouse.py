@@ -6,6 +6,12 @@ The reference drives these from an egui panel and winit mouse events
     python examples/obstacles_and_mouse.py
 """
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import math
 
 from tpufluid import SimSettings, TickParams

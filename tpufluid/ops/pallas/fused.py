@@ -163,8 +163,17 @@ def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
         # Per-block destination slots: each of the 9 (row, dx) blocks
         # computes its arrivals' ranks INDEPENDENTLY (9 parallel chains),
         # serialized only through the cheap [1, Gx] block-prefix adds.
+        # The arrival mask is folded into dest (non-arrivals get slot K,
+        # which the onehot compare never matches), and the accumulation
+        # selects form per-field chains with no count dependency — both
+        # measured cheaper than the round-1 single count chain.
         prior = jnp.zeros((1, gx), jnp.int32)
-        partials = []
+        out = [
+            jnp.full((k, gx), SENTINEL, jnp.float32),
+            jnp.full((k, gx), SENTINEL, jnp.float32),
+            jnp.zeros((k, gx), jnp.float32),
+            jnp.zeros((k, gx), jnp.float32),
+        ]
         n_far = jnp.int32(0)
 
         for r in range(3):
@@ -195,46 +204,25 @@ def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
                     (jnp.abs(ncy - y) > 1) | (jnp.abs(ncx - scx) > 1))
                 n_far = jnp.sum(far.astype(jnp.int32))
 
+            # row+liveness mask once per source row; the dx part is a
+            # source-frame compare against a shifted iota (one op), and
+            # only the finished mask is rolled into the target frame
+            base = (ncy == y) & live & row_live
             for dx in (-1, 0, 1):
-                ncx_s = _roll_x(ncx, dx)
-                ncy_s = _roll_x(ncy, dx)
-                lv_s = _roll_x(px_r, dx) < SENTINEL_HALF
+                m_t = _roll_x(base & (ncx == (x_iota - dx)), dx)  # [K, Gx]
                 pxs = _roll_x(px_r, dx)
                 pys = _roll_x(py_r, dx)
                 vxs = _roll_x(vx_r, dx)
                 vys = _roll_x(vy_r, dx)
-                m_all = ((ncy_s == y) & lv_s & (ncx_s == x_iota)
-                         & row_live)  # [K, Gx]
-                mi = m_all.astype(jnp.int32)
-                dest = excl_cumsum_k(mi) + prior  # absolute slot
+                mi = m_t.astype(jnp.int32)
+                dest = jnp.where(m_t, excl_cumsum_k(mi) + prior, k)
                 prior = prior + jnp.sum(mi, axis=0, keepdims=True)
-                # partial output: this block's arrivals at their absolute
-                # slots (chain depth K per block, blocks independent)
-                po = [
-                    jnp.full((k, gx), SENTINEL, jnp.float32),
-                    jnp.full((k, gx), SENTINEL, jnp.float32),
-                    jnp.zeros((k, gx), jnp.float32),
-                    jnp.zeros((k, gx), jnp.float32),
-                ]
                 for kk in range(k):
-                    onehot = (k_iota == dest[kk:kk + 1, :]) & m_all[kk:kk + 1, :]
+                    onehot = k_iota == dest[kk:kk + 1, :]
                     cand = (pxs[kk:kk + 1, :], pys[kk:kk + 1, :],
                             vxs[kk:kk + 1, :], vys[kk:kk + 1, :])
                     for f in range(4):
-                        po[f] = jnp.where(onehot, cand[f], po[f])
-                partials.append(po)
-
-        # tree-merge the 9 partials (absolute slots are disjoint)
-        while len(partials) > 1:
-            nxt = []
-            for i in range(0, len(partials) - 1, 2):
-                a, b = partials[i], partials[i + 1]
-                occ_b = b[0] < SENTINEL_HALF
-                nxt.append([jnp.where(occ_b, b[f], a[f]) for f in range(4)])
-            if len(partials) % 2:
-                nxt.append(partials[-1])
-            partials = nxt
-        out = partials[0]
+                        out[f] = jnp.where(onehot, cand[f], out[f])
 
         count = prior
         opx[0] = out[0]
@@ -363,9 +351,10 @@ def _density_kernel(consts, sc_ref, wid_ref, occc_ref, occ3_ref, *refs):
                         ddx = nx - px0
                         ddy = ny - py0
                         r2 = ddx * ddx + ddy * ddy
-                        diff = h2 - r2
-                        w = jnp.where(r2 > h2, 0.0, diff * diff * diff)
-                        acc = acc + w
+                        # max(diff,0)^3 == where(r2>h2, 0, diff^3) exactly,
+                        # one op cheaper
+                        diff = jnp.maximum(h2 - r2, 0.0)
+                        acc = acc + diff * diff * diff
                 acc_ref[...] = acc_ref[...] + acc
         # rho = m * norm * sum(w) — the reference sums m*W per pair
         # (funcs.wgsl:195); with default mass 1.0 this is bitwise equal,

@@ -92,8 +92,9 @@ def _density_kernel(h2, norm, sc_ref, *refs):
                 ddx = nx[kp:kp + 1, :] - px0
                 ddy = ny[kp:kp + 1, :] - py0
                 r2 = ddx * ddx + ddy * ddy
-                diff = h2 - r2
-                w = jnp.where(r2 > h2, 0.0, norm * diff * diff * diff)
+                # max(diff,0)^3 == where(r2>h2, 0, diff^3) exactly
+                diff = jnp.maximum(h2 - r2, 0.0)
+                w = norm * (diff * diff * diff)
                 acc = acc + jnp.where(nv[kp:kp + 1, :] > 0.0, mass * w, 0.0)
     out_ref[0] = acc
 
