@@ -148,15 +148,25 @@ def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
         x_iota = jax.lax.broadcasted_iota(jnp.int32, (1, gx), 1)
         k_iota = jax.lax.broadcasted_iota(jnp.int32, (k, gx), 0)
 
+        # log-depth prefix masks hoisted out of the 9 block cumsums (a
+        # single serial count chain across all blocks was measured
+        # latency-bound; per-block log cumsums run concurrently)
+        shift_keep = {}
+        s = 1
+        while s < k:
+            kio = jax.lax.broadcasted_iota(jnp.int32, (k, gx), 0)
+            shift_keep[s] = kio >= s
+            s *= 2
+
         def excl_cumsum_k(mi):
-            """Exclusive prefix count along the slot axis, log-depth
-            (a single serial chain here was measured latency-bound: the
-            count recurrence serializes all 72 candidate sub-blocks)."""
             c = mi
             s = 1
             while s < k:
-                sh = _roll_k_down(c, s, k)
-                c = c + sh
+                if _interpret():
+                    sh = jnp.roll(c, s, axis=0)
+                else:
+                    sh = pltpu.roll(c, s, axis=0)
+                c = c + jnp.where(shift_keep[s], sh, 0)
                 s *= 2
             return c - mi
 
@@ -209,12 +219,14 @@ def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
             # only the finished mask is rolled into the target frame
             base = (ncy == y) & live & row_live
             for dx in (-1, 0, 1):
-                m_t = _roll_x(base & (ncx == (x_iota - dx)), dx)  # [K, Gx]
+                # roll as i32: Mosaic's dynamic_rotate has no i1 variant
+                mi = _roll_x(
+                    (base & (ncx == (x_iota - dx))).astype(jnp.int32), dx)
+                m_t = mi > 0  # [K, Gx]
                 pxs = _roll_x(px_r, dx)
                 pys = _roll_x(py_r, dx)
                 vxs = _roll_x(vx_r, dx)
                 vys = _roll_x(vy_r, dx)
-                mi = m_t.astype(jnp.int32)
                 dest = jnp.where(m_t, excl_cumsum_k(mi) + prior, k)
                 prior = prior + jnp.sum(mi, axis=0, keepdims=True)
                 for kk in range(k):
@@ -331,23 +343,29 @@ def _density_kernel(consts, sc_ref, wid_ref, occc_ref, occ3_ref, *refs):
 
     @pl.when(occ_c > 0)
     def _():
-        px0, py0 = _pred_rows(
-            rows[1][0][0], rows[1][1][0], rows[1][2][0], rows[1][3][0],
-            dt, half_x, half_y)
+        # predictions hoisted to one [K, Gx] pass per source row — [1, Gx]
+        # strip math costs the same masked tiles as full rows on the VPU
+        preds = [
+            _pred_rows(rows[r][0][0], rows[r][1][0], rows[r][2][0],
+                       rows[r][3][0], dt, half_x, half_y)
+            for r in range(3)
+        ]
+        px0, py0 = preds[1]
+        # one [K, Gx] roll per (row, dx) block (see forces kernel)
+        rolled = {}
+        for r in range(3):
+            for dx in (-1, 0, 1):
+                rolled[(r, dx)] = (_roll_x(preds[r][0], dx),
+                                   _roll_x(preds[r][1], dx))
         acc_ref[...] = jnp.zeros((k, gx), jnp.float32)
         for kp in range(k):
             @pl.when(kp < occ3)
             def _(kp=kp):
                 acc = jnp.zeros((k, gx), jnp.float32)
                 for r in range(3):
-                    px_r, py_r, vx_r, vy_r = (ref[0] for ref in rows[r])
-                    nx_s, ny_s = _pred_rows(
-                        px_r[kp:kp + 1, :], py_r[kp:kp + 1, :],
-                        vx_r[kp:kp + 1, :], vy_r[kp:kp + 1, :],
-                        dt, half_x, half_y)
                     for dx in (-1, 0, 1):
-                        nx = _roll_x(nx_s, dx)
-                        ny = _roll_x(ny_s, dx)
+                        nx = rolled[(r, dx)][0][kp:kp + 1, :]
+                        ny = rolled[(r, dx)][1][kp:kp + 1, :]
                         ddx = nx - px0
                         ddy = ny - py0
                         r2 = ddx * ddx + ddy * ddy
@@ -475,35 +493,58 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, wid_ref, occc_ref,
         vy0 = rows[1][3][0]
         p_self = rows[1][4][0]
         invr0 = rows[1][5][0]
-        px0, py0 = _pred_rows(pos_x0, pos_y0, vx0, vy0, dt, half_x, half_y)
+        # predictions hoisted to one [K, Gx] pass per source row (strip
+        # math costs full masked tiles on the VPU)
+        preds = [
+            _pred_rows(rows[r][0][0], rows[r][1][0], rows[r][2][0],
+                       rows[r][3][0], dt, half_x, half_y)
+            for r in range(3)
+        ]
+        px0, py0 = preds[1]
         k_self = jax.lax.broadcasted_iota(jnp.int32, (k, gx), 0)
 
-        # Tie-break direction table, once per program (see ops.pallas.sph):
-        # position-hash seed + frame salt, draw ordinals clamped at 1.
+        # Tie-break direction table, once per program: position-hash seed
+        # + frame salt (cf. ops.pallas.sph / compute.wgsl:161,211-215).
+        # The fused engine derives the 4 (pair-order salt, draw ordinal)
+        # variants from ONE xorshift chain by rotation/reflection — a
+        # documented tie-contract deviation (the table only breaks exact
+        # coincidences; it needs determinism and distinct directions, not
+        # a specific stream), saving ~3 PRNG chains of per-program VPU
+        # work on a path that is almost always unused.
         bx = _bitcast_u32(px0)
         by = _bitcast_u32(py0)
         seed_self = ((bx * jnp.uint32(0x9E3779B1))
                      ^ (by * jnp.uint32(0x85EBCA6B)))
         seed_self = seed_self + frame * jnp.uint32(69)
-        tie_dirs = {}
-        for s_salt in (0, 1):
-            for c_ord in (0, 1):
-                eff = (seed_self
-                       + jnp.uint32(c_ord) * jnp.uint32(2654435761)
-                       + jnp.uint32(s_salt) * jnp.uint32(0x27220A95))
-                s1 = _xorshift32(eff)
-                s2 = _xorshift32(s1)
-                rx = _u01(s1)
-                ry = _u01(s2)
-                rn = jnp.sqrt(rx * rx + ry * ry)
-                rn = jnp.where(rn == 0.0, 1.0, rn)
-                tie_dirs[(s_salt, c_ord)] = (rx / rn, ry / rn)
+        s1 = _xorshift32(seed_self)
+        s2 = _xorshift32(s1)
+        rx = _u01(s1)
+        ry = _u01(s2)
+        inv = jax.lax.rsqrt(jnp.maximum(rx * rx + ry * ry, 1e-30))
+        d0x = rx * inv
+        d0y = ry * inv
+        tie_dirs = {
+            (0, 0): (d0x, d0y),
+            (0, 1): (-d0y, d0x),
+            (1, 0): (-d0x, -d0y),
+            (1, 1): (d0y, -d0x),
+        }
 
         sfx_ref[...] = jnp.zeros((k, gx), jnp.float32)
         sfy_ref[...] = jnp.zeros((k, gx), jnp.float32)
         sgx_ref[...] = jnp.zeros((k, gx), jnp.float32)
         sgy_ref[...] = jnp.zeros((k, gx), jnp.float32)
         scc_ref[...] = jnp.zeros((k, gx), jnp.uint32)
+
+        # one [K, Gx] roll per (row, dx) block for all six fields —
+        # per-(kp, block) strip rolls cost full masked tiles and scale
+        # with occupancy; these 54 rolls are occupancy-independent
+        rolled = {}
+        for r in range(3):
+            flds = (preds[r][0], preds[r][1], rows[r][2][0], rows[r][3][0],
+                    rows[r][4][0], rows[r][5][0])
+            for dx in (-1, 0, 1):
+                rolled[(r, dx)] = tuple(_roll_x(f, dx) for f in flds)
 
         if surface_tension:
             st_grad_norm = -24.0 / (PI * h**8)
@@ -539,31 +580,25 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, wid_ref, occc_ref,
                     cg_y = jnp.zeros((k, gx), jnp.float32)
                     cl_ = jnp.zeros((k, gx), jnp.float32)
                 for r in range(3):
-                    pr = rows[r]
-                    nx_s, ny_s = _pred_rows(
-                        pr[0][0, kp:kp + 1, :], pr[1][0, kp:kp + 1, :],
-                        pr[2][0, kp:kp + 1, :], pr[3][0, kp:kp + 1, :],
-                        dt, half_x, half_y)
-                    nvx_s = pr[2][0, kp:kp + 1, :]
-                    nvy_s = pr[3][0, kp:kp + 1, :]
-                    np_s = pr[4][0, kp:kp + 1, :]
-                    nir_s = pr[5][0, kp:kp + 1, :]
                     for dx in (-1, 0, 1):
-                        nx = _roll_x(nx_s, dx)
-                        ny = _roll_x(ny_s, dx)
-                        nvx = _roll_x(nvx_s, dx)
-                        nvy = _roll_x(nvy_s, dx)
-                        p_nb = _roll_x(np_s, dx)
-                        inv_rho = _roll_x(nir_s, dx)
+                        rl = rolled[(r, dx)]
+                        nx = rl[0][kp:kp + 1, :]
+                        ny = rl[1][kp:kp + 1, :]
+                        nvx = rl[2][kp:kp + 1, :]
+                        nvy = rl[3][kp:kp + 1, :]
+                        p_nb = rl[4][kp:kp + 1, :]
+                        inv_rho = rl[5][kp:kp + 1, :]
                         is_center = (r == 1 and dx == 0)
 
                         ddx = nx - px0
                         ddy = ny - py0
                         r2 = ddx * ddx + ddy * ddy
                         # one rsqrt replaces sqrt + divide (multi-pass VPU
-                        # ops); dst = r2 * rsqrt(r2) == sqrt(r2) to 1 ulp
-                        safe_r2 = jnp.where(r2 == 0.0, 1.0, r2)
-                        inv_dst = jax.lax.rsqrt(safe_r2)
+                        # ops); dst = r2 * rsqrt(r2) == sqrt(r2) to 1 ulp.
+                        # max() (not a where) floors r2: at r2 == 0, inv
+                        # is ~3e17 but dst = 0 * inv = 0 and dir = 0 — the
+                        # coincident path overwrites dir and kv anyway.
+                        inv_dst = jax.lax.rsqrt(jnp.maximum(r2, 1e-35))
                         dst = r2 * inv_dst
                         in_range = r2 <= sqr_radius
                         if is_center:
@@ -598,11 +633,12 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, wid_ref, occc_ref,
                                 scc_ref[...]
                                 + coincident.astype(jnp.uint32))
 
-                        shared_p = (p_self + p_nb) * 0.5
-                        # the dst <= h gate is folded into in_range
-                        # (r2 <= h^2): they differ only in the 1-ulp
-                        # rounding sliver of dst = sqrt-ish(r2)
-                        kern_p = -(h - dst) * spiky_norm
+                        # shared pressure's 0.5 is folded into the spiky
+                        # constant; the dst <= h gate is folded into
+                        # in_range (r2 <= h^2) — they differ only in the
+                        # 1-ulp rounding sliver of dst = sqrt-ish(r2)
+                        shared_p = p_self + p_nb
+                        kern_p = (dst - h) * (0.5 * spiky_norm)
                         in_range_p = in_range
                         if adaptive:
                             # static kp => stride tests fold to constants
