@@ -232,6 +232,12 @@ def run_parity(steps_short=10, steps_long=200, n=16384, out_path="PARITY.json"):
     meaningful over a short window; same criteria as tests/).
     Long horizon: per-engine invariants — mass conserved exactly, finite,
     in-bounds, kinetic energy within 10% across engines.
+
+    Scene: gravity -3 keeps peak cell occupancy bounded (~20 at K=32,
+    measured with unbounded K=64). At -9.8 this box compacts without
+    bound (rest_density 0 gives the EOS no density to defend, see
+    params.suggest_cell_capacity) — that regime tests scene sizing, not
+    engine parity.
     """
     import numpy as np
     import jax
@@ -242,7 +248,7 @@ def run_parity(steps_short=10, steps_long=200, n=16384, out_path="PARITY.json"):
     s = SimSettings(particle_count=n, particle_spacing=0.1,
                     smoothing_radius=0.2, size=(26.0, 26.0),
                     cell_capacity=32)
-    params = TickParams.default(gravity=(0.0, -9.8))
+    params = TickParams.default(gravity=(0.0, -3.0))
     report = {"backend": jax.default_backend(), "n": n, "checks": {}}
     ok_all = True
 
@@ -331,7 +337,7 @@ def main():
 
     from tpufluid import models
     r = bench_step(models.scene_1m(), warmup=1, iters=args.iters,
-                   burst=10, neighbor_mode=args.neighbor_mode)
+                   burst=30, neighbor_mode=args.neighbor_mode)
     value = r["particle_steps_per_sec"]
     print(json.dumps(dict(
         metric="particle_steps_per_sec_1M",

@@ -15,7 +15,7 @@ from tpufluid.app import FluidApp
 app = FluidApp(
     SimSettings(particle_count=16384, particle_spacing=0.1,
                 smoothing_radius=0.2, size=(24.0, 24.0), cell_capacity=32),
-    TickParams.default(gravity=(0.0, -9.8)),
+    TickParams.default(gravity=(0.0, -3.0)),
 )
 
 for i in range(240):

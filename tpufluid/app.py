@@ -53,17 +53,22 @@ class FluidApp:
         self.objects = objects if objects is not None else ff.Objects.empty()
         self._has_objects = self.objects.kind.shape[0] > 0
         self._resident = step_kw.get("neighbor_mode") == "resident"
+        self._strict_capacity = strict_capacity
         if (strict_capacity
                 and step_kw.get("neighbor_mode") in ("resident", "dense",
                                                      "pallas")):
             # fail fast instead of silently shedding mass (the reference's
-            # unbounded loops never lose particles, compute.wgsl:182-229)
+            # unbounded loops never lose particles, compute.wgsl:182-229).
+            # Refusal uses the raw estimate; the message shows the padded
+            # recommendation.
             from .params import suggest_cell_capacity
-            need = suggest_cell_capacity(settings, self.params)
-            if settings.cell_capacity < need:
+            raw = suggest_cell_capacity(self.settings, self.params,
+                                        safety=1.0, rounded=False)
+            if settings.cell_capacity < raw:
+                rec = suggest_cell_capacity(self.settings, self.params)
                 raise ValueError(
                     f"cell_capacity={settings.cell_capacity} is undersized "
-                    f"for this scene: gravity/EOS compression needs ~{need} "
+                    f"for this scene: gravity/EOS compression needs ~{rec} "
                     f"(suggest_cell_capacity). Raise cell_capacity, use "
                     f"neighbor_mode='grid', or pass strict_capacity=False "
                     f"to accept counted mass loss (GridState.lost / "
@@ -200,6 +205,10 @@ class FluidApp:
             self._grid_state = self._residentops.from_particles(
                 value, self.settings)
 
+    # ticks between runtime mass-loss audits (device->host sync each time)
+    LOSS_CHECK_EVERY = 256
+    LOSS_FRACTION = 1e-3
+
     def tick(self) -> None:
         if self._resident:
             if self._has_objects:
@@ -209,6 +218,25 @@ class FluidApp:
                 self._grid_state = self._step(self._grid_state, self.params)
             self._state_dirty = True
             self.timer.lap(self._grid_state)
+            # host-side counter: int(tick) every step would sync the device
+            self._ticks_since_audit = getattr(
+                self, "_ticks_since_audit", 0) + 1
+            if self._ticks_since_audit >= self.LOSS_CHECK_EVERY:
+                self._ticks_since_audit = 0
+                # the static advisor models equilibrium + impact; this is
+                # the runtime backstop for scenes that out-compress it
+                lost = int(self._grid_state.lost)
+                if lost > self.LOSS_FRACTION * self.settings.particle_count:
+                    msg = (
+                        f"resident engine shed {lost} of "
+                        f"{self.settings.particle_count} particles "
+                        f"(cell_capacity {self.settings.cell_capacity} "
+                        f"exceeded by compression): raise cell_capacity "
+                        f"or use neighbor_mode='grid'")
+                    if self._strict_capacity:
+                        raise RuntimeError(msg)
+                    import warnings
+                    warnings.warn(msg, RuntimeWarning)
             return
         if self._has_objects:
             self.state = self._step(self.state, self.params, self._forcefield)

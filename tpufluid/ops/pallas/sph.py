@@ -80,6 +80,8 @@ def _density_kernel(h2, norm, sc_ref, *refs):
     py0 = refs[4][0]
     k = px0.shape[0]
     acc = jnp.zeros_like(px0)
+    # rolls hoisted per (row, dx) block: per-slot strip rolls cost full
+    # masked tiles on the VPU (see ops.pallas.fused)
     for row in range(3):
         nx_r = refs[row * 3 + 0][0]
         ny_r = refs[row * 3 + 1][0]

@@ -93,26 +93,32 @@ class SimSettings:
 
 
 def suggest_cell_capacity(settings: SimSettings, params=None,
-                          safety: float = 1.5) -> int:
+                          safety: float = 1.3, rounded: bool = True):
     """Cell capacity that keeps the bounded-capacity engines loss-free.
 
     The reference's per-cell loops are unbounded (compute.wgsl:182-229), so
     it never sheds mass; the TPU engines bound per-cell work by
     ``cell_capacity`` and must be sized for the scene's true peak
-    occupancy. Model: the spawn lattice packs ``(h / spacing)^2`` particles
-    per cell; under gravity the fluid settles into a pool of height
-    ``H = N * spacing^2 / size_x`` whose floor occupancy grows
-    ~``exp(c * g * H / k)`` with the linear EOS ``p = k rho``
-    (funcs.wgsl:152-154). ``c = 0.55`` is calibrated: a g=-9.8, k=50
-    dam-break (gH/k = 3.7) measured ~28/cell = 7x rest occupancy
-    (SimSettings.cell_capacity docstring), i.e. e^(0.55 * 3.7). The
-    exponent is capped at 3 (20x): beyond that the bounded engines are the
-    wrong tool — use neighbor_mode='grid', whose windows follow the sorted
-    array.
+    occupancy. The spawn lattice packs ``occ0 = (h / spacing)^2`` per
+    cell; two compression estimates are combined (max), both from the
+    linear EOS ``p = k rho`` (funcs.wgsl:152-154):
 
-    The round-1 g=2 soak that silently lost 99% at capacity 8 gets 56
-    here; undersized scenes now refuse loudly (FluidApp strict_capacity)
-    instead of shedding mass.
+    * settled pool: ``exp(0.55 * g * H_pool / k)`` with
+      ``H_pool = N spacing^2 / size_x`` — hydrostatic floor occupancy;
+    * impact: ``exp(0.9 * g * H_fall / k)`` with ``H_fall`` = spawn-column
+      top to floor — kinetic energy converting to EOS compression when the
+      falling column lands. Calibrated on measured unbounded (K=64) peaks:
+      the 4k/16x16 dam-break peaks at 28/cell = 7x (gH/k = 2.2); the
+      16k/26x26 one (gH/k = 3.8) never stops compacting (77+/cell and
+      climbing) — with rest_density 0 there is no density the EOS defends,
+      so strong-gravity scenes can compact without bound. The exponent is
+      capped at 3 (20x): beyond that the bounded engines are the wrong
+      tool — use neighbor_mode='grid', whose windows follow the sorted
+      array.
+
+    ``safety``/``rounded``: the padded, tile-rounded recommendation for
+    sizing; FluidApp's refusal compares against the raw (safety=1,
+    unrounded) estimate so marginal-but-workable configs still run.
     """
     occ0 = max(1.0, (settings.smoothing_radius
                      / settings.particle_spacing) ** 2)
@@ -124,10 +130,17 @@ def suggest_cell_capacity(settings: SimSettings, params=None,
         kp = float(params.pressure_constant)
     pool_h = min(settings.particle_count * settings.particle_spacing ** 2
                  / settings.size[0], settings.size[1])
-    factor = math.exp(min(0.55 * g * pool_h / max(kp, EPSILON), 3.0))
-    cap = int(math.ceil(occ0 * factor * safety))
+    col_top = 0.5 * math.sqrt(settings.particle_count) \
+        * settings.particle_spacing
+    fall_h = min(col_top + settings.size[1] * 0.5, settings.size[1])
+    kp = max(kp, EPSILON)
+    x = max(0.55 * g * pool_h / kp, 0.9 * g * fall_h / kp)
+    factor = math.exp(min(x, 3.0))
+    cap = occ0 * factor * safety
+    if not rounded:
+        return cap
     # round up to the 8-sublane tile height the Pallas kernels block on
-    return max(8, -(-cap // 8) * 8)
+    return max(8, -(-int(math.ceil(cap)) // 8) * 8)
 
 
 @dataclasses.dataclass(frozen=True)
