@@ -212,7 +212,7 @@ def test_resident_sharded_far_movers(eight_devices):
     # shard the single-chip grid state by row band
     import jax as _jax
     from jax.sharding import NamedSharding, PartitionSpec as P
-    pad = spec.gy_pad - s.grid_h
+    pad = spec.gy_pad - gs0.pos_x.shape[0]
     from tpufluid.ops.pallas.fused import SENTINEL
 
     def padrow(a, fill):

@@ -109,141 +109,141 @@ def _pred_rows(px, py, vx, vy, dt, half_x, half_y):
 # ----------------------------------------------------------------- rebin
 
 def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
-    """One program per TARGET row y: pack arrivals from the 3x3 source
-    neighborhood in deterministic (source row, dx, slot) order.
+    """One program per RBLK target rows: pack each row's arrivals from its
+    3x3 source neighborhood in deterministic (source row, dx, slot) order.
 
-    Same packing algorithm as round 1 (ops.pallas.rebin), plus: sentinel
-    encoding, whole-program skip when all three source rows are empty, and
-    scalar per-row outputs (packed occupancy / far movers / overflow)
-    replacing the broadcast lost grid.
+    Per-program overhead (prologue + uncovered DMA latency) measured a
+    flat ~2 us regardless of row width — processing RBLK center rows per
+    program amortizes it (the dominant cost at small N, and ~25% at 1M).
 
-    ``off_ref``: global row index of local row 0 (0 unsharded) — sharded
-    slabs compare cell rows in their local frame.
+    ``off_ref``: per-row cell shift — sharded slabs subtract their global
+    row offset; batched world stacks subtract -(world * Gy).
     """
-    (h_inv, bx2, by2, half_x, half_y, cx_max, cy_max, k, gx) = consts
+    (h_inv, bx2, by2, half_x, half_y, cx_max, cy_max, k, gx, rblk,
+     rows_tot) = consts
     opx, opy, ovx, ovy, oocc, ofar, oover = refs[-7:]
-    rows = [refs[r * 4:(r + 1) * 4] for r in range(3)]
+    rowrefs = [refs[j * 4:(j + 1) * 4] for j in range(rblk + 2)]
     dt = sc_ref[0]
-    y = pl.program_id(0)
-    # per-row cell shift: sharded slabs subtract their global row offset;
-    # batched world stacks subtract -(world * Gy) (see rebin())
-    off = off_ref[y]
-    gy = pl.num_programs(0)
-    occ3s = jnp.maximum(
-        jnp.maximum(occ_ref[jnp.maximum(y - 1, 0)], occ_ref[y]),
-        occ_ref[jnp.minimum(y + 1, gy - 1)])
+    yb = pl.program_id(0)
 
-    # defaults: empty row
-    opx[0] = jnp.full((k, gx), SENTINEL, jnp.float32)
-    opy[0] = jnp.full((k, gx), SENTINEL, jnp.float32)
-    ovx[0] = jnp.zeros((k, gx), jnp.float32)
-    ovy[0] = jnp.zeros((k, gx), jnp.float32)
-    # scalar outputs are whole-array SMEM refs; each program writes row y
-    oocc[y] = jnp.int32(0)
-    ofar[y] = jnp.int32(0)
-    oover[y] = jnp.int32(0)
+    x_iota = jax.lax.broadcasted_iota(jnp.int32, (1, gx), 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (k, gx), 0)
+    # log-depth prefix masks hoisted out of the block cumsums (a single
+    # serial count chain across all blocks was measured latency-bound;
+    # per-block log cumsums run concurrently)
+    shift_keep = {}
+    s = 1
+    while s < k:
+        shift_keep[s] = k_iota >= s
+        s *= 2
 
-    @pl.when(occ3s > 0)
-    def _():
-        x_iota = jax.lax.broadcasted_iota(jnp.int32, (1, gx), 1)
-        k_iota = jax.lax.broadcasted_iota(jnp.int32, (k, gx), 0)
-
-        # log-depth prefix masks hoisted out of the 9 block cumsums (a
-        # single serial count chain across all blocks was measured
-        # latency-bound; per-block log cumsums run concurrently)
-        shift_keep = {}
+    def excl_cumsum_k(mi):
+        c = mi
         s = 1
         while s < k:
-            kio = jax.lax.broadcasted_iota(jnp.int32, (k, gx), 0)
-            shift_keep[s] = kio >= s
+            if _interpret():
+                sh = jnp.roll(c, s, axis=0)
+            else:
+                sh = pltpu.roll(c, s, axis=0)
+            c = c + jnp.where(shift_keep[s], sh, 0)
             s *= 2
+        return c - mi
 
-        def excl_cumsum_k(mi):
-            c = mi
-            s = 1
-            while s < k:
-                if _interpret():
-                    sh = jnp.roll(c, s, axis=0)
-                else:
-                    sh = pltpu.roll(c, s, axis=0)
-                c = c + jnp.where(shift_keep[s], sh, 0)
-                s *= 2
-            return c - mi
+    for i in range(rblk):
+        y = yb * rblk + i
+        off = off_ref[y]
+        occ3s = jnp.maximum(
+            jnp.maximum(occ_ref[jnp.maximum(y - 1, 0)], occ_ref[y]),
+            occ_ref[jnp.minimum(y + 1, rows_tot - 1)])
 
-        # Per-block destination slots: each of the 9 (row, dx) blocks
-        # computes its arrivals' ranks INDEPENDENTLY (9 parallel chains),
-        # serialized only through the cheap [1, Gx] block-prefix adds.
-        # The arrival mask is folded into dest (non-arrivals get slot K,
-        # which the onehot compare never matches), and the accumulation
-        # selects form per-field chains with no count dependency — both
-        # measured cheaper than the round-1 single count chain.
-        prior = jnp.zeros((1, gx), jnp.int32)
-        out = [
-            jnp.full((k, gx), SENTINEL, jnp.float32),
-            jnp.full((k, gx), SENTINEL, jnp.float32),
-            jnp.zeros((k, gx), jnp.float32),
-            jnp.zeros((k, gx), jnp.float32),
-        ]
-        n_far = jnp.int32(0)
+        # defaults: empty row
+        opx[i] = jnp.full((k, gx), SENTINEL, jnp.float32)
+        opy[i] = jnp.full((k, gx), SENTINEL, jnp.float32)
+        ovx[i] = jnp.zeros((k, gx), jnp.float32)
+        ovy[i] = jnp.zeros((k, gx), jnp.float32)
+        # scalar outputs are whole-array SMEM refs; sequential programs
+        # each write their own rows
+        oocc[y] = jnp.int32(0)
+        ofar[y] = jnp.int32(0)
+        oover[y] = jnp.int32(0)
 
-        for r in range(3):
-            src_y = y + (r - 1)
-            px_r, py_r, vx_r, vy_r = (ref[0] for ref in rows[r])
-            live = px_r < SENTINEL_HALF
-            prx = jnp.clip(px_r + vx_r * dt, -half_x, half_x)
-            pry = jnp.clip(py_r + vy_r * dt, -half_y, half_y)
-            # interior clamp mirrors ops.grid.cell_xy (sentinel ring must
-            # stay empty even when size/h divides exactly in f32)
-            ncx = jnp.clip(
-                jnp.floor((prx + bx2) * h_inv).astype(jnp.int32) + 1,
-                1, cx_max)
-            ncy = jnp.clip(
-                jnp.floor((pry + by2) * h_inv).astype(jnp.int32) + 1,
-                1, cy_max) - off  # local frame
-            # rows 0/Gy-1 clamp in the index map duplicates row 1/Gy-2;
-            # suppress the duplicates
-            row_live = jnp.logical_and(src_y >= 0, src_y < gy)
-            if r != 1:
-                row_live = jnp.logical_and(row_live, src_y != y)
+        @pl.when(occ3s > 0)
+        def _(i=i, y=y, off=off):
+            # Per-block destination slots: each of the 9 (row, dx) blocks
+            # computes its arrivals' ranks INDEPENDENTLY (9 parallel
+            # chains), serialized only through the cheap [1, Gx]
+            # block-prefix adds. The arrival mask is folded into dest
+            # (non-arrivals get slot K, which the onehot compare never
+            # matches) — both measured cheaper than one count chain.
+            prior = jnp.zeros((1, gx), jnp.int32)
+            out = [
+                jnp.full((k, gx), SENTINEL, jnp.float32),
+                jnp.full((k, gx), SENTINEL, jnp.float32),
+                jnp.zeros((k, gx), jnp.float32),
+                jnp.zeros((k, gx), jnp.float32),
+            ]
+            n_far = jnp.int32(0)
 
-            if r == 1:
-                # far movers OF THIS SOURCE ROW: target beyond the 3x3
-                # neighborhood; re-inserted by the XLA fallback outside
-                scx = jax.lax.broadcasted_iota(jnp.int32, (k, gx), 1)
-                far = live & (
-                    (jnp.abs(ncy - y) > 1) | (jnp.abs(ncx - scx) > 1))
-                n_far = jnp.sum(far.astype(jnp.int32))
+            for r in range(3):
+                src_y = y + (r - 1)
+                px_r, py_r, vx_r, vy_r = (
+                    ref[0] for ref in rowrefs[i + r])
+                live = px_r < SENTINEL_HALF
+                prx = jnp.clip(px_r + vx_r * dt, -half_x, half_x)
+                pry = jnp.clip(py_r + vy_r * dt, -half_y, half_y)
+                # interior clamp mirrors ops.grid.cell_xy (sentinel ring
+                # must stay empty even when size/h divides exactly in f32)
+                ncx = jnp.clip(
+                    jnp.floor((prx + bx2) * h_inv).astype(jnp.int32) + 1,
+                    1, cx_max)
+                ncy = jnp.clip(
+                    jnp.floor((pry + by2) * h_inv).astype(jnp.int32) + 1,
+                    1, cy_max) - off  # local frame
+                # edge blocks clamp in the index map, duplicating an
+                # interior row; suppress the duplicates
+                row_live = jnp.logical_and(src_y >= 0, src_y < rows_tot)
+                if r != 1:
+                    row_live = jnp.logical_and(row_live, src_y != y)
 
-            # row+liveness mask once per source row; the dx part is a
-            # source-frame compare against a shifted iota (one op), and
-            # only the finished mask is rolled into the target frame
-            base = (ncy == y) & live & row_live
-            for dx in (-1, 0, 1):
-                # roll as i32: Mosaic's dynamic_rotate has no i1 variant
-                mi = _roll_x(
-                    (base & (ncx == (x_iota - dx))).astype(jnp.int32), dx)
-                m_t = mi > 0  # [K, Gx]
-                pxs = _roll_x(px_r, dx)
-                pys = _roll_x(py_r, dx)
-                vxs = _roll_x(vx_r, dx)
-                vys = _roll_x(vy_r, dx)
-                dest = jnp.where(m_t, excl_cumsum_k(mi) + prior, k)
-                prior = prior + jnp.sum(mi, axis=0, keepdims=True)
-                for kk in range(k):
-                    onehot = k_iota == dest[kk:kk + 1, :]
-                    cand = (pxs[kk:kk + 1, :], pys[kk:kk + 1, :],
-                            vxs[kk:kk + 1, :], vys[kk:kk + 1, :])
-                    for f in range(4):
-                        out[f] = jnp.where(onehot, cand[f], out[f])
+                if r == 1:
+                    # far movers OF THIS SOURCE ROW: target beyond the
+                    # 3x3 neighborhood; re-inserted by the XLA fallback
+                    scx = jax.lax.broadcasted_iota(jnp.int32, (k, gx), 1)
+                    far = live & (
+                        (jnp.abs(ncy - y) > 1) | (jnp.abs(ncx - scx) > 1))
+                    n_far = jnp.sum(far.astype(jnp.int32))
 
-        count = prior
-        opx[0] = out[0]
-        opy[0] = out[1]
-        ovx[0] = out[2]
-        ovy[0] = out[3]
-        oocc[y] = jnp.max(jnp.minimum(count, k))
-        ofar[y] = n_far
-        oover[y] = jnp.sum(jnp.maximum(count - k, 0))
+                # row+liveness mask once per source row; the dx part is a
+                # source-frame compare against a shifted iota, and only
+                # the finished mask is rolled into the target frame
+                base = (ncy == y) & live & row_live
+                for dx in (-1, 0, 1):
+                    # roll as i32: Mosaic's dynamic_rotate has no i1 form
+                    mi = _roll_x(
+                        (base & (ncx == (x_iota - dx))).astype(jnp.int32),
+                        dx)
+                    m_t = mi > 0  # [K, Gx]
+                    pxs = _roll_x(px_r, dx)
+                    pys = _roll_x(py_r, dx)
+                    vxs = _roll_x(vx_r, dx)
+                    vys = _roll_x(vy_r, dx)
+                    dest = jnp.where(m_t, excl_cumsum_k(mi) + prior, k)
+                    prior = prior + jnp.sum(mi, axis=0, keepdims=True)
+                    for kk in range(k):
+                        onehot = k_iota == dest[kk:kk + 1, :]
+                        cand = (pxs[kk:kk + 1, :], pys[kk:kk + 1, :],
+                                vxs[kk:kk + 1, :], vys[kk:kk + 1, :])
+                        for f in range(4):
+                            out[f] = jnp.where(onehot, cand[f], out[f])
+
+            count = prior
+            opx[i] = out[0]
+            opy[i] = out[1]
+            ovx[i] = out[2]
+            ovy[i] = out[3]
+            oocc[y] = jnp.max(jnp.minimum(count, k))
+            ofar[y] = n_far
+            oover[y] = jnp.sum(jnp.maximum(count - k, 0))
 
 
 def _small_out_spec():
@@ -252,8 +252,29 @@ def _small_out_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
+def _mrow_specs(rblk, rows_tot, k, gx, n_fields):
+    """Per field, rblk+2 single-row blocks covering world rows
+    yb*rblk - 1 .. yb*rblk + rblk (clamped; edge duplicates suppressed by
+    the kernels' row_live masks)."""
+    n_blocks = rows_tot // rblk
+    specs = []
+    for j in range(rblk + 2):
+        def imap(y, j=j):
+            return (jnp.clip(y * rblk + j - 1, 0, rows_tot - 1), 0, 0)
+        for _ in range(n_fields):
+            specs.append(pl.BlockSpec((1, k, gx), imap,
+                                      memory_space=pltpu.VMEM))
+    del n_blocks
+    return specs
+
+
+def _mout_spec(rblk, k, gx):
+    return pl.BlockSpec((rblk, k, gx), lambda y: (y, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
 def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
-          row_offset=0, row_shift=None):
+          row_offset=0, row_shift=None, rows_per_program=1):
     """Re-pack grid slots by next-step predicted cell (sentinel encoding).
 
     All grids [Gy, K, Gxp] f32 with empty slots at position SENTINEL;
@@ -270,6 +291,8 @@ def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
     (batched world stacks, ops.resident.make_batched_grid_step).
     """
     gy, k, gx = pos_x.shape
+    rblk = rows_per_program
+    assert gy % rblk == 0, (gy, rblk)
     h = float(settings.smoothing_radius)
     consts = (
         1.0 / h,
@@ -279,7 +302,7 @@ def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
         float(settings.size[1]) * 0.5,
         settings.grid_w - 2,
         settings.grid_h - 2,
-        k, gx,
+        k, gx, rblk, gy,
     )
     kernel = functools.partial(_rebin_kernel, consts)
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
@@ -291,12 +314,12 @@ def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
     f32 = jnp.float32
     outs = pl.pallas_call(
         kernel,
-        grid=(gy,),
-        in_specs=[_scalar_spec()] * 3 + _row_specs(gy, k, gx, 4),
+        grid=(gy // rblk,),
+        in_specs=[_scalar_spec()] * 3 + _mrow_specs(rblk, gy, k, gx, 4),
         out_specs=(
-            _out_spec(k, gx), _out_spec(k, gx), _out_spec(k, gx),
-            _out_spec(k, gx), _small_out_spec(), _small_out_spec(),
-            _small_out_spec(),
+            _mout_spec(rblk, k, gx), _mout_spec(rblk, k, gx),
+            _mout_spec(rblk, k, gx), _mout_spec(rblk, k, gx),
+            _small_out_spec(), _small_out_spec(), _small_out_spec(),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((gy, k, gx), f32),
@@ -310,7 +333,7 @@ def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
         interpret=_interpret(),
         name="sph_rebin_fused",
     )(dt_arr, off_arr, jnp.asarray(occ_row, jnp.int32).reshape(-1),
-      *fields, *fields, *fields)
+      *(list(fields) * (rblk + 2)))
     return outs
 
 
@@ -318,81 +341,89 @@ def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
 
 def _density_kernel(consts, sc_ref, wid_ref, occc_ref, occ3_ref, *refs):
     """pres = k*(rho - rho0) and 1/rho per slot (funcs.wgsl:157-203 +
-    152-154), candidate loop bounded by occ3."""
-    (h2, norm, k, gx) = consts
+    152-154), candidate loop bounded by occ3; RBLK center rows per
+    program (amortizes the flat per-program overhead)."""
+    (h2, norm, k, gx, rblk, rows_tot) = consts
     # sc: [W, 6] = per-world [mass, dt, k_pressure, rest_density, half_x,
     # half_y]; wid_ref: i32[Gy] world of each row (all 0 unbatched)
     pres_ref, invr_ref = refs[-3:-1]
     acc_ref = refs[-1]  # scratch [K, Gx]
-    rows = [refs[r * 4:(r + 1) * 4] for r in range(3)]
-    y = pl.program_id(0)
-    occ_c = occc_ref[y]
-    occ3 = occ3_ref[y]
-    w = wid_ref[y]
-    mass = sc_ref[w, 0]
-    dt = sc_ref[w, 1]
-    kp_c = sc_ref[w, 2]
-    rho0 = sc_ref[w, 3]
-    half_x = sc_ref[w, 4]
-    half_y = sc_ref[w, 5]
+    rowrefs = [refs[j * 4:(j + 1) * 4] for j in range(rblk + 2)]
+    yb = pl.program_id(0)
+    for i in range(rblk):
+        y = yb * rblk + i
+        occ_c = occc_ref[y]
+        occ3 = occ3_ref[y]
+        w = wid_ref[y]
+        mass = sc_ref[w, 0]
+        dt = sc_ref[w, 1]
+        kp_c = sc_ref[w, 2]
+        rho0 = sc_ref[w, 3]
+        half_x = sc_ref[w, 4]
+        half_y = sc_ref[w, 5]
 
-    # defaults: floor density everywhere (empty rows are only ever read as
-    # excluded-by-range candidates; finite values keep the math NaN-free)
-    pres_ref[0] = jnp.full((k, gx), 1.0, jnp.float32) * (kp_c * (0.1 - rho0))
-    invr_ref[0] = jnp.full((k, gx), 10.0, jnp.float32)
+        # defaults: floor density everywhere (empty rows are only read as
+        # excluded-by-range candidates; finite values stay NaN-free)
+        pres_ref[i] = (jnp.full((k, gx), 1.0, jnp.float32)
+                       * (kp_c * (0.1 - rho0)))
+        invr_ref[i] = jnp.full((k, gx), 10.0, jnp.float32)
 
-    @pl.when(occ_c > 0)
-    def _():
-        # predictions hoisted to one [K, Gx] pass per source row — [1, Gx]
-        # strip math costs the same masked tiles as full rows on the VPU
-        preds = [
-            _pred_rows(rows[r][0][0], rows[r][1][0], rows[r][2][0],
-                       rows[r][3][0], dt, half_x, half_y)
-            for r in range(3)
-        ]
-        px0, py0 = preds[1]
-        # one [K, Gx] roll per (row, dx) block (see forces kernel)
-        rolled = {}
-        for r in range(3):
-            for dx in (-1, 0, 1):
-                rolled[(r, dx)] = (_roll_x(preds[r][0], dx),
-                                   _roll_x(preds[r][1], dx))
-        acc_ref[...] = jnp.zeros((k, gx), jnp.float32)
-        for kp in range(k):
-            @pl.when(kp < occ3)
-            def _(kp=kp):
-                acc = jnp.zeros((k, gx), jnp.float32)
-                for r in range(3):
-                    for dx in (-1, 0, 1):
-                        nx = rolled[(r, dx)][0][kp:kp + 1, :]
-                        ny = rolled[(r, dx)][1][kp:kp + 1, :]
-                        ddx = nx - px0
-                        ddy = ny - py0
-                        r2 = ddx * ddx + ddy * ddy
-                        # max(diff,0)^3 == where(r2>h2, 0, diff^3) exactly,
-                        # one op cheaper
-                        diff = jnp.maximum(h2 - r2, 0.0)
-                        acc = acc + diff * diff * diff
-                acc_ref[...] = acc_ref[...] + acc
-        # rho = m * norm * sum(w) — the reference sums m*W per pair
-        # (funcs.wgsl:195); with default mass 1.0 this is bitwise equal,
-        # otherwise within 1 ulp/pair (resident parity is tolerance-based).
-        rho = mass * (jnp.float32(norm) * acc_ref[...])
-        rho = jnp.maximum(jnp.maximum(rho, 1.19209290e-07), 0.1)
-        pres_ref[0] = kp_c * (rho - rho0)
-        invr_ref[0] = 1.0 / rho
+        @pl.when(occ_c > 0)
+        def _(i=i, occ3=occ3, mass=mass, dt=dt, kp_c=kp_c, rho0=rho0,
+              half_x=half_x, half_y=half_y):
+            rows = rowrefs[i:i + 3]
+            # predictions hoisted to one [K, Gx] pass per source row —
+            # [1, Gx] strip math costs the same masked tiles as full rows
+            preds = [
+                _pred_rows(rows[r][0][0], rows[r][1][0], rows[r][2][0],
+                           rows[r][3][0], dt, half_x, half_y)
+                for r in range(3)
+            ]
+            px0, py0 = preds[1]
+            # one [K, Gx] roll per (row, dx) block (see forces kernel)
+            rolled = {}
+            for r in range(3):
+                for dx in (-1, 0, 1):
+                    rolled[(r, dx)] = (_roll_x(preds[r][0], dx),
+                                       _roll_x(preds[r][1], dx))
+            acc_ref[...] = jnp.zeros((k, gx), jnp.float32)
+            for kp in range(k):
+                @pl.when(kp < occ3)
+                def _(kp=kp):
+                    acc = jnp.zeros((k, gx), jnp.float32)
+                    for r in range(3):
+                        for dx in (-1, 0, 1):
+                            nx = rolled[(r, dx)][0][kp:kp + 1, :]
+                            ny = rolled[(r, dx)][1][kp:kp + 1, :]
+                            ddx = nx - px0
+                            ddy = ny - py0
+                            r2 = ddx * ddx + ddy * ddy
+                            # max(diff,0)^3 == where(r2>h2, 0, diff^3)
+                            # exactly, one op cheaper
+                            diff = jnp.maximum(h2 - r2, 0.0)
+                            acc = acc + diff * diff * diff
+                    acc_ref[...] = acc_ref[...] + acc
+            # rho = m * norm * sum(w) — the reference sums m*W per pair
+            # (funcs.wgsl:195); with default mass 1.0 bitwise equal,
+            # otherwise within 1 ulp/pair (resident parity is tolerance).
+            rho = mass * (jnp.float32(norm) * acc_ref[...])
+            rho = jnp.maximum(jnp.maximum(rho, 1.19209290e-07), 0.1)
+            pres_ref[i] = kp_c * (rho - rho0)
+            invr_ref[i] = 1.0 / rho
 
 
 def density(pos_x, pos_y, vel_x, vel_y, occ_row, mass, dt, pressure_constant,
-            rest_density, settings, wid=None):
+            rest_density, settings, wid=None, rows_per_program=1):
     """(pres, inv_rho)[Gy, K, Gx] from sentinel-encoded (pos, vel) grids.
 
     ``wid``: i32[Gy] world id per row for batched world stacks — scalar
     args then carry a leading [W] dim (broadcast from scalars otherwise).
     """
     gy, k, gx = pos_x.shape
+    rblk = rows_per_program
+    assert gy % rblk == 0, (gy, rblk)
     h_f = float(settings.smoothing_radius)
-    consts = (h_f * h_f, 4.0 / (PI * h_f**8), k, gx)
+    consts = (h_f * h_f, 4.0 / (PI * h_f**8), k, gx, rblk, gy)
     kernel = functools.partial(_density_kernel, consts)
     cols = [
         jnp.asarray(mass, jnp.float32),
@@ -412,9 +443,9 @@ def density(pos_x, pos_y, vel_x, vel_y, occ_row, mass, dt, pressure_constant,
     f32 = jnp.float32
     return pl.pallas_call(
         kernel,
-        grid=(gy,),
-        in_specs=[_scalar_spec()] * 4 + _row_specs(gy, k, gx, 4),
-        out_specs=(_out_spec(k, gx), _out_spec(k, gx)),
+        grid=(gy // rblk,),
+        in_specs=[_scalar_spec()] * 4 + _mrow_specs(rblk, gy, k, gx, 4),
+        out_specs=(_mout_spec(rblk, k, gx), _mout_spec(rblk, k, gx)),
         out_shape=(
             jax.ShapeDtypeStruct((gy, k, gx), f32),
             jax.ShapeDtypeStruct((gy, k, gx), f32),
@@ -423,7 +454,7 @@ def density(pos_x, pos_y, vel_x, vel_y, occ_row, mass, dt, pressure_constant,
         interpret=_interpret(),
         name="sph_density_fused",
     )(sc, jnp.asarray(wid, jnp.int32), occ_row, occ3,
-      *fields, *fields, *fields)
+      *(list(fields) * (rblk + 2)))
 
 
 # ----------------------------------------------- forces + integration
@@ -439,12 +470,13 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, wid_ref, occc_ref,
     pressure candidates strided 1/5/13 as self density crosses 150/200 —
     the self density is recovered as 1/invr, so threshold crossings agree
     with the [N] engines to f32 reciprocal rounding)."""
-    (h, h2, sqr_radius, spiky_norm, visc_norm, k, gx) = consts
+    (h, h2, sqr_radius, spiky_norm, visc_norm, k, gx, rblk,
+     rows_tot) = consts
     (wrap_x, has_ff, surface_tension, adaptive) = flags
-    # refs layout (front-based): 18 field refs, [2 ff refs], 4 output
-    # refs, 5 scratch refs, [3 surface-tension scratch refs]
-    rows = [refs[r * 6:(r + 1) * 6] for r in range(3)]
-    idx = 18
+    # refs layout (front-based): 6*(rblk+2) field refs, [ff refs], 4
+    # output refs, 5 scratch refs, [3 surface-tension scratch refs]
+    rowrefs = [refs[j * 6:(j + 1) * 6] for j in range(rblk + 2)]
+    idx = 6 * (rblk + 2)
     if has_ff:
         ffx_ref, ffy_ref = refs[idx:idx + 2]
         idx += 2
@@ -452,7 +484,37 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, wid_ref, occc_ref,
     sfx_ref, sfy_ref, sgx_ref, sgy_ref, scc_ref = refs[idx + 4:idx + 9]
     if surface_tension:
         cgx_ref, cgy_ref, clap_ref = refs[idx + 9:idx + 12]
-    y = pl.program_id(0)
+    yb = pl.program_id(0)
+    frame = frame_ref[0]
+
+    h3 = h * h2
+    _c_neg_inv_2h3 = -1.0 / (2.0 * h3)
+    _c_inv_h2 = 1.0 / h2
+    _c_half_h = h / 2.0
+
+    for i in range(rblk):
+        _forces_one_row(
+            i, yb * rblk + i, rowrefs[i:i + 3], consts, flags, sc_ref,
+            frame, wid_ref, occc_ref, occ3_ref,
+            ffx_ref if has_ff else None, ffy_ref if has_ff else None,
+            npx_ref, npy_ref, nvx_ref, nvy_ref,
+            sfx_ref, sfy_ref, sgx_ref, sgy_ref, scc_ref,
+            cgx_ref if surface_tension else None,
+            cgy_ref if surface_tension else None,
+            clap_ref if surface_tension else None,
+            h3, _c_neg_inv_2h3, _c_inv_h2, _c_half_h)
+
+
+def _forces_one_row(i, y, rows, consts, flags, sc_ref, frame, wid_ref,
+                    occc_ref, occ3_ref, ffx_ref, ffy_ref,
+                    npx_ref, npy_ref, nvx_ref, nvy_ref,
+                    sfx_ref, sfy_ref, sgx_ref, sgy_ref, scc_ref,
+                    cgx_ref, cgy_ref, clap_ref,
+                    h3, _c_neg_inv_2h3, _c_inv_h2, _c_half_h):
+    """Forces + integration for ONE center row (see _forces_kernel)."""
+    (h, h2, sqr_radius, spiky_norm, visc_norm, k, gx, rblk,
+     rows_tot) = consts
+    (wrap_x, has_ff, surface_tension, adaptive) = flags
     occ_c = occc_ref[y]
     occ3 = occ3_ref[y]
     w = wid_ref[y]  # world of this row (0 unbatched)
@@ -473,17 +535,11 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, wid_ref, occc_ref,
     half_y = sc_ref[w, 11]
     ff_sx = sc_ref[w, 12]  # pixel -> world scale, (bounds*2)/texture_size
     ff_sy = sc_ref[w, 13]
-    frame = frame_ref[0]
 
-    npx_ref[0] = jnp.full((k, gx), SENTINEL, jnp.float32)
-    npy_ref[0] = jnp.full((k, gx), SENTINEL, jnp.float32)
-    nvx_ref[0] = jnp.zeros((k, gx), jnp.float32)
-    nvy_ref[0] = jnp.zeros((k, gx), jnp.float32)
-
-    h3 = h * h2
-    _c_neg_inv_2h3 = -1.0 / (2.0 * h3)
-    _c_inv_h2 = 1.0 / h2
-    _c_half_h = h / 2.0
+    npx_ref[i] = jnp.full((k, gx), SENTINEL, jnp.float32)
+    npy_ref[i] = jnp.full((k, gx), SENTINEL, jnp.float32)
+    nvx_ref[i] = jnp.zeros((k, gx), jnp.float32)
+    nvy_ref[i] = jnp.zeros((k, gx), jnp.float32)
 
     @pl.when(occ_c > 0)
     def _():
@@ -752,8 +808,8 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, wid_ref, occc_ref,
             # see ops.resident). Field values are PIXEL-space vectors; the
             # normal is normalized in pixel space like the reference, the
             # position push is scaled to world units per axis.
-            ffx = ffx_ref[0]  # [1, Gx] pixel-space push-out
-            ffy = ffy_ref[0]
+            ffx = ffx_ref[i]  # [1, Gx] pixel-space push-out
+            ffy = ffy_ref[i]
             hit = (ffx != 0.0) | (ffy != 0.0)
             fn = jnp.sqrt(ffx * ffx + ffy * ffy)
             fsafe = jnp.where(fn == 0.0, 1.0, fn)
@@ -778,16 +834,17 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, wid_ref, occc_ref,
         vy = jnp.where(outy, vy * -damping, vy)
 
         live = pos_x0 < SENTINEL_HALF
-        npx_ref[0] = jnp.where(live, px, SENTINEL)
-        npy_ref[0] = jnp.where(live, py, SENTINEL)
-        nvx_ref[0] = jnp.where(live, vx, 0.0)
-        nvy_ref[0] = jnp.where(live, vy, 0.0)
+        npx_ref[i] = jnp.where(live, px, SENTINEL)
+        npy_ref[i] = jnp.where(live, py, SENTINEL)
+        nvx_ref[i] = jnp.where(live, vx, 0.0)
+        nvy_ref[i] = jnp.where(live, vy, 0.0)
 
 
 def forces_integrate(pos_x, pos_y, vel_x, vel_y, pres, invr, occ_row,
                      params, settings, frame, ff_cells=None,
                      x_boundary="bounce", surface_tension: bool = False,
-                     adaptive_subsampling: bool = False, wid=None):
+                     adaptive_subsampling: bool = False, wid=None,
+                     rows_per_program=1):
     """One fused kernel: 3x3-stencil pressure+viscosity forces and the full
     integration. Returns (pos_x', pos_y', vel_x', vel_y').
 
@@ -798,10 +855,13 @@ def forces_integrate(pos_x, pos_y, vel_x, vel_y, pres, invr, occ_row,
     fields then carry a leading [W] batch dim.
     """
     gy, k, gx = pos_x.shape
+    rblk = rows_per_program
+    assert gy % rblk == 0, (gy, rblk)
     norms = settings.kernel_norms()
     h_f = float(settings.smoothing_radius)
     consts = (h_f, h_f * h_f, float(settings.sqr_radius),
-              float(norms.spiky_derivative), float(norms.viscosity), k, gx)
+              float(norms.spiky_derivative), float(norms.viscosity), k, gx,
+              rblk, gy)
     flags = (x_boundary == "wrap", ff_cells is not None,
              surface_tension, adaptive_subsampling)
     kernel = functools.partial(_forces_kernel, consts, flags)
@@ -837,21 +897,21 @@ def forces_integrate(pos_x, pos_y, vel_x, vel_y, pres, invr, occ_row,
     occ_row = jnp.asarray(occ_row, jnp.int32).reshape(-1)
     occ3 = occ3_of(occ_row)
     fields = (pos_x, pos_y, vel_x, vel_y, pres, invr)
-    in_specs = ([_scalar_spec()] * 5 + _row_specs(gy, k, gx, 6))
+    in_specs = ([_scalar_spec()] * 5 + _mrow_specs(rblk, gy, k, gx, 6))
     args = [sc, fr, jnp.asarray(wid, jnp.int32), occ_row, occ3,
-            *fields, *fields, *fields]
+            *(list(fields) * (rblk + 2))]
     if ff_cells is not None:
         ffx, ffy = ff_cells
         args += [ffx.reshape(gy, 1, gx), ffy.reshape(gy, 1, gx)]
-        ff_spec = pl.BlockSpec((1, 1, gx), lambda y: (y, 0, 0),
+        ff_spec = pl.BlockSpec((rblk, 1, gx), lambda y: (y, 0, 0),
                                memory_space=pltpu.VMEM)
         in_specs += [ff_spec, ff_spec]
     f32 = jnp.float32
     return pl.pallas_call(
         kernel,
-        grid=(gy,),
+        grid=(gy // rblk,),
         in_specs=in_specs,
-        out_specs=tuple(_out_spec(k, gx) for _ in range(4)),
+        out_specs=tuple(_mout_spec(rblk, k, gx) for _ in range(4)),
         out_shape=tuple(
             jax.ShapeDtypeStruct((gy, k, gx), f32) for _ in range(4)),
         scratch_shapes=(

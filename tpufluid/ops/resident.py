@@ -72,6 +72,18 @@ def _gxp(settings: SimSettings) -> int:
     return -(-settings.grid_w // 128) * 128
 
 
+# rows per Pallas program in the fused kernels: the flat ~2us per-program
+# overhead dominates at small N and is ~25% of the 1M step; grids are
+# padded with empty rows to a multiple of this
+ROWS_PER_PROGRAM = 4
+
+
+def _rows(settings: SimSettings) -> int:
+    """Grid rows padded to a ROWS_PER_PROGRAM multiple (pad rows are
+    permanently empty — cell rows never exceed grid_h - 2)."""
+    return -(-settings.grid_h // ROWS_PER_PROGRAM) * ROWS_PER_PROGRAM
+
+
 def valid_mask(gs: GridState) -> jax.Array:
     """bool[Gy, K, Gxp]: which slots hold a live particle."""
     return gs.pos_x < SENTINEL_HALF
@@ -91,7 +103,7 @@ def from_particles(state: ParticleState, settings: SimSettings) -> GridState:
     g4 = src[binning.perm]
     grid = build_grid_cols(
         g4[:, 0], g4[:, 1], g4[:, 2], g4[:, 3], binning.sorted_cells,
-        settings)
+        settings, dims=(_rows(settings), settings.grid_w))
     px = jnp.where(grid.valid, grid.px, SENTINEL)
     py = jnp.where(grid.valid, grid.py, SENTINEL)
     return GridState(
@@ -187,8 +199,10 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
     gxp = _gxp(settings)
     k = settings.cell_capacity
     gy = settings.grid_h
+    gy_p = _rows(settings)  # state rows per world (ROWS_PER_PROGRAM pad)
     grid_w = settings.grid_w
-    gy_total = gy * n_worlds
+    gy_total = gy_p * n_worlds
+    rblk = ROWS_PER_PROGRAM
     h_inv = 1.0 / settings.smoothing_radius
     if far_capacity is None:
         # impact phases can fling thousands of >1-cell movers in one step
@@ -202,8 +216,8 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
     # with zero cross-talk; only the cell-row comparison frame (row_shift)
     # and the per-world scalar lookup (wid) change.
     if n_worlds > 1:
-        wid = jnp.repeat(jnp.arange(n_worlds, dtype=jnp.int32), gy)
-        row_shift = -(wid * gy)
+        wid = jnp.repeat(jnp.arange(n_worlds, dtype=jnp.int32), gy_p)
+        row_shift = -(wid * gy_p)
     else:
         wid = None
         row_shift = None
@@ -220,7 +234,7 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
         # 1. re-bin by next predicted cell (Pallas; local moves)
         px, py, vx, vy, occ_row, far_n, over_n = fused.rebin(
             gs.pos_x, gs.pos_y, gs.vel_x, gs.vel_y, gs.occ_row, dt,
-            settings, row_shift=row_shift)
+            settings, row_shift=row_shift, rows_per_program=rblk)
         n_far = jnp.sum(far_n)
         n_over = jnp.sum(over_n)
 
@@ -242,7 +256,7 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
             scy = jax.lax.broadcasted_iota(jnp.int32, gs.pos_x.shape, 0)
             if n_worlds > 1:
                 # world-local cell row -> absolute stacked row
-                ncy = ncy + (scy // gy) * gy
+                ncy = ncy + (scy // gy_p) * gy_p
             far = (gs.pos_x < SENTINEL_HALF) & (
                 (jnp.abs(ncy - scy) > 1) | (jnp.abs(ncx - scx) > 1))
             far_flat = far.reshape(-1)
@@ -299,18 +313,20 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
         pres, invr = fused.density(
             px, py, vx, vy, occ_row, params.mass, dt,
             params.pressure_constant, params.rest_density, settings,
-            wid=wid)
+            wid=wid, rows_per_program=rblk)
         ff_cells = None
         if has_force_field:
             if forcefield is None:
                 raise ValueError("step built with has_force_field=True "
                                  "needs a forcefield argument")
-            ff_cells = forcefield_cells(forcefield, settings, gxp)
+            ff_cells = forcefield_cells(forcefield, settings, gxp,
+                                        n_rows=gy_p)
         npx, npy, nvx, nvy = fused.forces_integrate(
             px, py, vx, vy, pres, invr, occ_row, params, settings, frame,
             ff_cells=ff_cells, x_boundary=x_boundary,
             surface_tension=surface_tension,
-            adaptive_subsampling=adaptive_subsampling, wid=wid)
+            adaptive_subsampling=adaptive_subsampling, wid=wid,
+            rows_per_program=rblk)
 
         return GridState(
             pos_x=npx, pos_y=npy, vel_x=nvx, vel_y=nvy,
@@ -381,7 +397,7 @@ def batched_params(param_list) -> TickParams:
 
 def world_state(gs: GridState, settings: SimSettings, w: int) -> GridState:
     """Slice world ``w`` out of a batched row stack."""
-    gy = settings.grid_h
+    gy = _rows(settings)
     sl = slice(w * gy, (w + 1) * gy)
     return GridState(
         pos_x=gs.pos_x[sl], pos_y=gs.pos_y[sl],

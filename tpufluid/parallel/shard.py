@@ -496,7 +496,7 @@ class ResidentShardSpec:
 
 def build_resident_spec(settings: SimSettings, n_devices: int,
                         far_capacity: Optional[int] = None) -> ResidentShardSpec:
-    gy = settings.grid_h
+    gy = residentops._rows(settings)  # state rows (ROWS_PER_PROGRAM pad)
     rows = -(-gy // n_devices)
     if rows < 4:
         raise ValueError(
@@ -527,7 +527,7 @@ def init_sharded_resident(spec: ResidentShardSpec, mesh=None):
     row bands (rows padded to a device multiple with empty sentinels)."""
     gs = residentops.init_grid_state(spec.settings)
     mesh = mesh or make_resident_mesh(spec)
-    pad = spec.gy_pad - spec.settings.grid_h
+    pad = spec.gy_pad - gs.pos_x.shape[0]
 
     def padrow(a, fill):
         if pad == 0:
