@@ -238,3 +238,40 @@ def test_batched_requires_shared_delta():
     plist = [TickParams.default(delta=1 / 120), TickParams.default(delta=1 / 60)]
     with pytest.raises(ValueError, match="delta"):
         resident.batched_params(plist)
+
+
+def test_capacity_sliced_dispatch_matches_dense():
+    """cell_capacity 16 with occupancy straddling the 8-slot tile: the
+    lax.switch variants (kv=8 vs kv=16) must agree with the dense engine
+    and conserve mass as occupancy crosses the tile boundary."""
+    from scipy.spatial import cKDTree
+
+    n = 64
+    s = SimSettings(particle_count=n, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(6.0, 6.0), cell_capacity=16)
+    rng = np.random.default_rng(3)
+    # 12 particles piled into one cell (occ 12 -> kv=16 branch), the rest
+    # spread out (occ <= 4); over steps the pile disperses -> kv drops
+    pos = np.zeros((n, 2), np.float32)
+    pos[:12] = rng.uniform(-0.05, 0.05, (12, 2)) + [1.0, 1.0]
+    pos[12:] = rng.uniform(-2.5, 2.5, (n - 12, 2))
+    vel = np.zeros((n, 2), np.float32)
+    state = ParticleState(
+        position=jnp.asarray(pos), predicted=jnp.asarray(pos),
+        velocity=jnp.asarray(vel), density=jnp.ones(n),
+        cell=jnp.zeros(n, jnp.uint32), tick=jnp.zeros((), jnp.uint32))
+    params = TickParams.default(gravity=(0.0, -2.0))
+
+    gs = resident.from_particles(state, s)
+    gstep = resident.make_grid_step(s)
+    ref = state
+    rstep = make_step(s, neighbor_mode="dense")
+    for _ in range(6):
+        gs = gstep(gs, params)
+        ref = rstep(ref, params)
+    assert int(gs.lost) == 0
+    ps, live = resident.to_particles(gs, s)
+    assert int(live) == n
+    d, _ = cKDTree(np.asarray(ref.position)).query(
+        np.asarray(ps.position)[:n])
+    assert d.max() < 1e-4

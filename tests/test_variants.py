@@ -198,7 +198,9 @@ def test_adaptive_subsampling_resident():
     """Low density -> stride 1 -> bitwise no-op; piled -> finite + differs.
     (The resident packing order differs from sort order, so the STRIDED
     SUBSET of neighbors differs from the [N] engines — same semantics,
-    different sample; exact parity only holds at stride 1.)"""
+    different sample; exact parity only holds at stride 1. cap stays 8:
+    interpreter-mode cost doubles per capacity-slice variant, and the
+    dispatch has its own test in test_resident.)"""
     from tpufluid.ops import resident
 
     s = settings(n=128, cap=8)
@@ -209,9 +211,11 @@ def test_adaptive_subsampling_resident():
     np.testing.assert_array_equal(np.asarray(a.pos_x), np.asarray(b.pos_x))
     np.testing.assert_array_equal(np.asarray(a.vel_y), np.asarray(b.vel_y))
 
-    # pile: one dense clump -> density > 200
+    # pile: one dense clump -> density > 200 (cap 8: overflow drops some
+    # neighbor contributions equally in both runs; the stride effect on
+    # the kept pairs is what's under test)
     n2 = 16
-    s2 = settings(n=n2, cap=16)
+    s2 = settings(n=n2, cap=8)
     rng = np.random.default_rng(1)
     pos = (rng.uniform(-0.05, 0.05, (n2, 2))).astype(np.float32)
     st = ParticleState(

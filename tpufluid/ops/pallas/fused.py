@@ -120,21 +120,24 @@ def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
     row offset; batched world stacks subtract -(world * Gy).
     """
     (h_inv, bx2, by2, half_x, half_y, cx_max, cy_max, k, gx, rblk,
-     rows_tot) = consts
+     rows_tot, k_out) = consts
+    # k: source slot count actually scanned (capacity-sliced inputs hold
+    # only the occupied slot tiles); k_out: output capacity
     opx, opy, ovx, ovy, oocc, ofar, oover = refs[-7:]
     rowrefs = [refs[j * 4:(j + 1) * 4] for j in range(rblk + 2)]
     dt = sc_ref[0]
     yb = pl.program_id(0)
 
     x_iota = jax.lax.broadcasted_iota(jnp.int32, (1, gx), 1)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (k, gx), 0)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (k_out, gx), 0)
+    kin_iota = jax.lax.broadcasted_iota(jnp.int32, (k, gx), 0)
     # log-depth prefix masks hoisted out of the block cumsums (a single
     # serial count chain across all blocks was measured latency-bound;
     # per-block log cumsums run concurrently)
     shift_keep = {}
     s = 1
     while s < k:
-        shift_keep[s] = k_iota >= s
+        shift_keep[s] = kin_iota >= s
         s *= 2
 
     def excl_cumsum_k(mi):
@@ -157,10 +160,10 @@ def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
             occ_ref[jnp.minimum(y + 1, rows_tot - 1)])
 
         # defaults: empty row
-        opx[i] = jnp.full((k, gx), SENTINEL, jnp.float32)
-        opy[i] = jnp.full((k, gx), SENTINEL, jnp.float32)
-        ovx[i] = jnp.zeros((k, gx), jnp.float32)
-        ovy[i] = jnp.zeros((k, gx), jnp.float32)
+        opx[i] = jnp.full((k_out, gx), SENTINEL, jnp.float32)
+        opy[i] = jnp.full((k_out, gx), SENTINEL, jnp.float32)
+        ovx[i] = jnp.zeros((k_out, gx), jnp.float32)
+        ovy[i] = jnp.zeros((k_out, gx), jnp.float32)
         # scalar outputs are whole-array SMEM refs; sequential programs
         # each write their own rows
         oocc[y] = jnp.int32(0)
@@ -177,10 +180,10 @@ def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
             # matches) — both measured cheaper than one count chain.
             prior = jnp.zeros((1, gx), jnp.int32)
             out = [
-                jnp.full((k, gx), SENTINEL, jnp.float32),
-                jnp.full((k, gx), SENTINEL, jnp.float32),
-                jnp.zeros((k, gx), jnp.float32),
-                jnp.zeros((k, gx), jnp.float32),
+                jnp.full((k_out, gx), SENTINEL, jnp.float32),
+                jnp.full((k_out, gx), SENTINEL, jnp.float32),
+                jnp.zeros((k_out, gx), jnp.float32),
+                jnp.zeros((k_out, gx), jnp.float32),
             ]
             n_far = jnp.int32(0)
 
@@ -227,7 +230,8 @@ def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
                     pys = _roll_x(py_r, dx)
                     vxs = _roll_x(vx_r, dx)
                     vys = _roll_x(vy_r, dx)
-                    dest = jnp.where(m_t, excl_cumsum_k(mi) + prior, k)
+                    dest = jnp.where(m_t, excl_cumsum_k(mi) + prior,
+                                     k_out)
                     prior = prior + jnp.sum(mi, axis=0, keepdims=True)
                     for kk in range(k):
                         onehot = k_iota == dest[kk:kk + 1, :]
@@ -241,9 +245,9 @@ def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
             opy[i] = out[1]
             ovx[i] = out[2]
             ovy[i] = out[3]
-            oocc[y] = jnp.max(jnp.minimum(count, k))
+            oocc[y] = jnp.max(jnp.minimum(count, k_out))
             ofar[y] = n_far
-            oover[y] = jnp.sum(jnp.maximum(count - k, 0))
+            oover[y] = jnp.sum(jnp.maximum(count - k_out, 0))
 
 
 def _small_out_spec():
@@ -274,7 +278,8 @@ def _mout_spec(rblk, k, gx):
 
 
 def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
-          row_offset=0, row_shift=None, rows_per_program=1):
+          row_offset=0, row_shift=None, rows_per_program=1,
+          out_capacity=None):
     """Re-pack grid slots by next-step predicted cell (sentinel encoding).
 
     All grids [Gy, K, Gxp] f32 with empty slots at position SENTINEL;
@@ -292,6 +297,7 @@ def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
     """
     gy, k, gx = pos_x.shape
     rblk = rows_per_program
+    k_out = out_capacity if out_capacity is not None else k
     assert gy % rblk == 0, (gy, rblk)
     h = float(settings.smoothing_radius)
     consts = (
@@ -302,7 +308,7 @@ def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
         float(settings.size[1]) * 0.5,
         settings.grid_w - 2,
         settings.grid_h - 2,
-        k, gx, rblk, gy,
+        k, gx, rblk, gy, k_out,
     )
     kernel = functools.partial(_rebin_kernel, consts)
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
@@ -317,15 +323,15 @@ def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
         grid=(gy // rblk,),
         in_specs=[_scalar_spec()] * 3 + _mrow_specs(rblk, gy, k, gx, 4),
         out_specs=(
-            _mout_spec(rblk, k, gx), _mout_spec(rblk, k, gx),
-            _mout_spec(rblk, k, gx), _mout_spec(rblk, k, gx),
+            _mout_spec(rblk, k_out, gx), _mout_spec(rblk, k_out, gx),
+            _mout_spec(rblk, k_out, gx), _mout_spec(rblk, k_out, gx),
             _small_out_spec(), _small_out_spec(), _small_out_spec(),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((gy, k, gx), f32),
-            jax.ShapeDtypeStruct((gy, k, gx), f32),
-            jax.ShapeDtypeStruct((gy, k, gx), f32),
-            jax.ShapeDtypeStruct((gy, k, gx), f32),
+            jax.ShapeDtypeStruct((gy, k_out, gx), f32),
+            jax.ShapeDtypeStruct((gy, k_out, gx), f32),
+            jax.ShapeDtypeStruct((gy, k_out, gx), f32),
+            jax.ShapeDtypeStruct((gy, k_out, gx), f32),
             jax.ShapeDtypeStruct((gy,), jnp.int32),
             jax.ShapeDtypeStruct((gy,), jnp.int32),
             jax.ShapeDtypeStruct((gy,), jnp.int32),

@@ -221,6 +221,17 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
     else:
         wid = None
         row_shift = None
+    # capacity-sliced dispatch: slots beyond the running max occupancy
+    # are all sentinel, so kernels run on a [*, kv, Gxp] slice with kv =
+    # the occupancy rounded up to a slot tile — high-capacity scenes
+    # (gravity dam-breaks need K~32+) stop paying K-height tiles while
+    # the fluid is uncompressed. One lax.switch branch per slot tile.
+    kvs = ([k] if (k <= 8 or k % 8 != 0)
+           else list(range(8, k + 1, 8)))
+
+    def _kv_index(occ_row):
+        occ_max = jnp.max(occ_row)
+        return jnp.clip((occ_max + 7) // 8 - 1, 0, len(kvs) - 1)
 
     def step(gs: GridState, params: TickParams,
              forcefield: Optional[jax.Array] = None) -> GridState:
@@ -231,10 +242,27 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
                 "batched resident mode shares one delta across worlds "
                 "(pass a scalar); gravity/viscosity/etc. may be [B]")
 
-        # 1. re-bin by next predicted cell (Pallas; local moves)
-        px, py, vx, vy, occ_row, far_n, over_n = fused.rebin(
-            gs.pos_x, gs.pos_y, gs.vel_x, gs.vel_y, gs.occ_row, dt,
-            settings, row_shift=row_shift, rows_per_program=rblk)
+        # 1. re-bin by next predicted cell (Pallas; local moves); the
+        # source-slot scan is capacity-sliced, the output is full-K
+        if len(kvs) == 1:
+            px, py, vx, vy, occ_row, far_n, over_n = fused.rebin(
+                gs.pos_x, gs.pos_y, gs.vel_x, gs.vel_y, gs.occ_row, dt,
+                settings, row_shift=row_shift, rows_per_program=rblk)
+        else:
+            def rebin_branch(kv):
+                def f(ops):
+                    gpx, gpy, gvx, gvy, gocc = ops
+                    return fused.rebin(
+                        gpx[:, :kv], gpy[:, :kv], gvx[:, :kv],
+                        gvy[:, :kv], gocc, dt, settings,
+                        row_shift=row_shift, rows_per_program=rblk,
+                        out_capacity=k)
+                return f
+
+            px, py, vx, vy, occ_row, far_n, over_n = lax.switch(
+                _kv_index(gs.occ_row),
+                [rebin_branch(kv) for kv in kvs],
+                (gs.pos_x, gs.pos_y, gs.vel_x, gs.vel_y, gs.occ_row))
         n_far = jnp.sum(far_n)
         n_over = jnp.sum(over_n)
 
@@ -309,11 +337,7 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
         )
 
         # 3. physics: density -> (pressure, 1/rho) -> forces + integration,
-        # two fused occupancy-aware Pallas kernels
-        pres, invr = fused.density(
-            px, py, vx, vy, occ_row, params.mass, dt,
-            params.pressure_constant, params.rest_density, settings,
-            wid=wid, rows_per_program=rblk)
+        # two fused occupancy-aware Pallas kernels (capacity-sliced)
         ff_cells = None
         if has_force_field:
             if forcefield is None:
@@ -321,12 +345,45 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
                                  "needs a forcefield argument")
             ff_cells = forcefield_cells(forcefield, settings, gxp,
                                         n_rows=gy_p)
-        npx, npy, nvx, nvy = fused.forces_integrate(
-            px, py, vx, vy, pres, invr, occ_row, params, settings, frame,
-            ff_cells=ff_cells, x_boundary=x_boundary,
-            surface_tension=surface_tension,
-            adaptive_subsampling=adaptive_subsampling, wid=wid,
-            rows_per_program=rblk)
+
+        def physics(px, py, vx, vy, kv):
+            pres, invr = fused.density(
+                px, py, vx, vy, occ_row, params.mass, dt,
+                params.pressure_constant, params.rest_density, settings,
+                wid=wid, rows_per_program=rblk)
+            npx, npy, nvx, nvy = fused.forces_integrate(
+                px, py, vx, vy, pres, invr, occ_row, params, settings,
+                frame, ff_cells=ff_cells, x_boundary=x_boundary,
+                surface_tension=surface_tension,
+                adaptive_subsampling=adaptive_subsampling, wid=wid,
+                rows_per_program=rblk)
+            pad = k - kv
+            if pad:
+                shp = (npx.shape[0], pad, npx.shape[2])
+                npx = jnp.concatenate(
+                    [npx, jnp.full(shp, SENTINEL, jnp.float32)], axis=1)
+                npy = jnp.concatenate(
+                    [npy, jnp.full(shp, SENTINEL, jnp.float32)], axis=1)
+                nvx = jnp.concatenate(
+                    [nvx, jnp.zeros(shp, jnp.float32)], axis=1)
+                nvy = jnp.concatenate(
+                    [nvy, jnp.zeros(shp, jnp.float32)], axis=1)
+            return npx, npy, nvx, nvy
+
+        if len(kvs) == 1:
+            npx, npy, nvx, nvy = physics(px, py, vx, vy, k)
+        else:
+            def phys_branch(kv):
+                def f(ops):
+                    bpx, bpy, bvx, bvy = ops
+                    return physics(bpx[:, :kv], bpy[:, :kv],
+                                   bvx[:, :kv], bvy[:, :kv], kv)
+                return f
+
+            npx, npy, nvx, nvy = lax.switch(
+                _kv_index(occ_row),
+                [phys_branch(kv) for kv in kvs],
+                (px, py, vx, vy))
 
         return GridState(
             pos_x=npx, pos_y=npy, vel_x=nvx, vel_y=nvy,
