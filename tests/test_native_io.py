@@ -150,3 +150,21 @@ def test_video_frames_to_force_field(tmp_path):
     step = make_step(s, has_force_field=True)
     out = step(init_state(s), TickParams.default(), jnp.asarray(field))
     assert np.all(np.isfinite(np.asarray(out.position)))
+
+
+def test_save_mp4_gate():
+    """mp4 export encodes via ffmpeg when present, raises a clear error
+    otherwise (the render CLI's PNG path is the fallback)."""
+    import numpy as np
+    import pytest as _pytest
+    from tpufluid.utils import io as ioutils
+
+    frames = [np.zeros((16, 16, 4), np.uint8) for _ in range(3)]
+    if ioutils.ffmpeg_available():
+        import tempfile, os
+        with tempfile.TemporaryDirectory() as d:
+            out = ioutils.save_mp4(os.path.join(d, "t.mp4"), frames, fps=10)
+            assert os.path.getsize(out) > 0
+    else:
+        with _pytest.raises(RuntimeError, match="ffmpeg"):
+            ioutils.save_mp4("/tmp/t.mp4", frames)

@@ -108,6 +108,10 @@ def main(argv=None):
     render_p.add_argument("--height", type=int, default=540)
     render_p.add_argument("--mode", choices=("metaball", "particles"),
                           default="metaball")
+    render_p.add_argument("--mp4", type=str, default=None,
+                          help="additionally encode the frames to this "
+                               "mp4 (needs an ffmpeg binary)")
+    render_p.add_argument("--fps", type=int, default=30)
 
     sub.add_parser("info", help="print device/platform info")
 
@@ -171,6 +175,12 @@ def main(argv=None):
             mode=args.mode, progress=progress,
         )
         print(f"wrote {len(paths)} frames to {args.out}/")
+        if args.mp4:
+            from .utils import io as ioutils
+            ioutils.save_mp4(
+                args.mp4, (ioutils.read_png(p) for p in paths),
+                fps=args.fps)
+            print(f"encoded {args.mp4}")
         if args.checkpoint:
             app.save(args.checkpoint)
         return 0

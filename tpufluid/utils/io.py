@@ -129,6 +129,39 @@ def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
+def save_mp4(path: str, frames, fps: int = 30) -> str:
+    """Encode RGBA frames (iterable of u8[H, W, 4]) to mp4 via an ffmpeg
+    subprocess — the headless counterpart of the reference's offline
+    render mode (src/main.rs:154-216, which saves PNGs it later encodes).
+
+    Raises RuntimeError when no ffmpeg binary exists (the render CLI
+    falls back to PNG frames via the native encoder).
+    """
+    import subprocess
+
+    if not ffmpeg_available():
+        raise RuntimeError(
+            "mp4 export needs an ffmpeg binary on PATH; use PNG frames "
+            "(utils.io.write_png / `render --out DIR`) instead")
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("no frames")
+    h, w = frames[0].shape[:2]
+    proc = subprocess.Popen(
+        ["ffmpeg", "-y", "-loglevel", "error", "-f", "rawvideo",
+         "-pix_fmt", "rgba", "-s", f"{w}x{h}", "-r", str(fps), "-i", "-",
+         "-pix_fmt", "yuv420p", "-vf", "pad=ceil(iw/2)*2:ceil(ih/2)*2",
+         path],
+        stdin=subprocess.PIPE,
+    )
+    for f in frames:
+        proc.stdin.write(f.tobytes())
+    proc.stdin.close()
+    if proc.wait() != 0:
+        raise RuntimeError("ffmpeg encode failed")
+    return path
+
+
 def load_gray_frames(path: str, max_frames: Optional[int] = None) -> np.ndarray:
     """Grayscale frame stack u8[T, H, W] from .npy/.npz, or any container
     ffmpeg can decode (if an ffmpeg binary exists)."""
