@@ -102,6 +102,11 @@ def metaball_fields(state: ParticleState, settings: SimSettings,
     inv_tau = 1.0 / (settings.sqr_radius * 0.5)
     dens = jnp.zeros(wx.shape, jnp.float32)
     velf = jnp.zeros(wx.shape, jnp.float32)
+    # candidates processed UNROLL per fori iteration: the [H, W] carry
+    # round-trips HBM once per iteration, which dominated the frame at
+    # 1080p (~500 candidate passes x 16 MB); unrolling divides that
+    UNROLL = 8
+    cap_pad = -(-capacity // UNROLL) * UNROLL
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             # interior [By, Bx, K] view of the rolled margin grid
@@ -109,20 +114,26 @@ def metaball_fields(state: ParticleState, settings: SimSettings,
             nx, ny, ns, nv = (sl(bins["x"]), sl(bins["y"]), sl(bins["s"]),
                               sl(valid))
 
-            def body(k, carry):
+            def body(kb, carry):
                 d, v = carry
-                cand_x = lax.dynamic_slice_in_dim(nx, k, 1, 2)[..., 0]
-                cand_y = lax.dynamic_slice_in_dim(ny, k, 1, 2)[..., 0]
-                cand_s = lax.dynamic_slice_in_dim(ns, k, 1, 2)[..., 0]
-                cand_v = lax.dynamic_slice_in_dim(nv, k, 1, 2)[..., 0]
-                ddx = cand_x[:, None, :, None] - wx
-                ddy = cand_y[:, None, :, None] - wy
-                r2 = ddx * ddx + ddy * ddy
-                c = jnp.where(cand_v[:, None, :, None] > 0.0,
-                              jnp.exp(-r2 * inv_tau), 0.0)
-                return d + c, v + c * cand_s[:, None, :, None]
+                for u in range(UNROLL):
+                    k = jnp.minimum(kb * UNROLL + u, capacity - 1)
+                    cand_x = lax.dynamic_slice_in_dim(nx, k, 1, 2)[..., 0]
+                    cand_y = lax.dynamic_slice_in_dim(ny, k, 1, 2)[..., 0]
+                    cand_s = lax.dynamic_slice_in_dim(ns, k, 1, 2)[..., 0]
+                    cand_v = lax.dynamic_slice_in_dim(nv, k, 1, 2)[..., 0]
+                    live = (cand_v[:, None, :, None] > 0.0) & (
+                        kb * UNROLL + u < capacity)
+                    ddx = cand_x[:, None, :, None] - wx
+                    ddy = cand_y[:, None, :, None] - wy
+                    r2 = ddx * ddx + ddy * ddy
+                    c = jnp.where(live, jnp.exp(-r2 * inv_tau), 0.0)
+                    d = d + c
+                    v = v + c * cand_s[:, None, :, None]
+                return d, v
 
-            dens, velf = lax.fori_loop(0, capacity, body, (dens, velf))
+            dens, velf = lax.fori_loop(
+                0, cap_pad // UNROLL, body, (dens, velf))
 
     h_pad, w_pad = by * bin_px, bx * bin_px
     dens = dens.reshape(h_pad, w_pad)[:height, :width]
@@ -169,29 +180,34 @@ def render_particles_binned(
     best_d = jnp.full(wx.shape, jnp.inf, jnp.float32)
     best_rgb = jnp.zeros(wx.shape + (3,), jnp.float32)
     inv_scale = 1.0 / float(scale)
+    UNROLL = 8
+    cap_pad = -(-capacity // UNROLL) * UNROLL
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             sl = lambda a: a[1 + dy: 1 + dy + by, 1 + dx: 1 + dx + bx]
             nx, ny, nv = sl(bins["x"]), sl(bins["y"]), sl(valid)
             nr, ng, nb = sl(bins["r"]), sl(bins["g"]), sl(bins["b"])
 
-            def body(k, carry):
+            def body(kb, carry):
                 bd, brgb = carry
-                pick = lambda a: lax.dynamic_slice_in_dim(
-                    a, k, 1, 2)[..., 0][:, None, :, None]
-                ddx = pick(nx) - wx
-                ddy = pick(ny) - wy
-                duv = jnp.sqrt(ddx * ddx + ddy * ddy) * inv_scale
-                ok = (pick(nv) > 0.0) & (duv <= 0.5) & (duv < bd)
-                rgb = jnp.stack(
-                    [pick(nr), pick(ng), pick(nb)], axis=-1
-                ) * (1.0 - duv)[..., None]
-                bd = jnp.where(ok, duv, bd)
-                brgb = jnp.where(ok[..., None], rgb, brgb)
+                for u in range(UNROLL):
+                    k = jnp.minimum(kb * UNROLL + u, capacity - 1)
+                    pick = lambda a: lax.dynamic_slice_in_dim(
+                        a, k, 1, 2)[..., 0][:, None, :, None]
+                    ddx = pick(nx) - wx
+                    ddy = pick(ny) - wy
+                    duv = jnp.sqrt(ddx * ddx + ddy * ddy) * inv_scale
+                    ok = ((pick(nv) > 0.0) & (duv <= 0.5) & (duv < bd)
+                          & (kb * UNROLL + u < capacity))
+                    rgb = jnp.stack(
+                        [pick(nr), pick(ng), pick(nb)], axis=-1
+                    ) * (1.0 - duv)[..., None]
+                    bd = jnp.where(ok, duv, bd)
+                    brgb = jnp.where(ok[..., None], rgb, brgb)
                 return bd, brgb
 
             best_d, best_rgb = lax.fori_loop(
-                0, capacity, body, (best_d, best_rgb))
+                0, cap_pad // UNROLL, body, (best_d, best_rgb))
 
     h_pad, w_pad = by * bin_px, bx * bin_px
     rgb = best_rgb.reshape(h_pad, w_pad, 3)[:height, :width]
