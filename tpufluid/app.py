@@ -84,7 +84,8 @@ class FluidApp:
             self._step = residentops.make_grid_step(
                 settings, has_force_field=self._has_objects,
                 **self._resident_kw)
-            self._grid_state = residentops.init_grid_state(settings)
+            # NOTE: the state setter below builds _grid_state via
+            # from_particles — no separate init_grid_state call needed.
             step_kw = {}
         else:
             self._step = make_step(
@@ -118,9 +119,8 @@ class FluidApp:
         self.sim_state = SimState.RENDER
 
     def restart(self) -> None:  # egui restart button (src/renderer.rs:873-875)
+        # the state setter rebuilds _grid_state in resident mode
         self.state = init_state(self.settings)
-        if self._resident:
-            self._grid_state = self._residentops.init_grid_state(self.settings)
         self.accumulator = 0.0
 
     def set_mouse(self, pos=None, state: Optional[int] = None) -> None:
@@ -288,26 +288,43 @@ class FluidApp:
                 self.state, self.settings, width, height, cam)
         raise ValueError(f"unknown render mode {mode!r}")
 
-    def render_sequence(self, out_dir: str, frames: int, width=960, height=540,
-                        mode: str = "metaball",
-                        progress: Optional[Callable[[int], None]] = None):
-        """Offline render mode (src/main.rs:153-216): 16 ticks per frame,
-        PNG per frame, ETA logging via ``progress``."""
-        os.makedirs(out_dir, exist_ok=True)
+    def iter_frames(self, frames: int, width=960, height=540,
+                    mode: str = "metaball",
+                    progress: Optional[Callable[[int], None]] = None):
+        """Offline render mode (src/main.rs:153-216) as a generator:
+        16 ticks per frame, yields rgba8[H, W, 4] per frame."""
         self.sim_state = SimState.RENDER
-        paths = []
         for i in range(frames):
             self.advance_video_frame()  # one video frame per output frame
             for _ in range(self.TICKS_PER_RENDER_FRAME):
                 self.tick()
             frame = self.render_frame(width, height, mode=mode)
-            rgba8 = np.asarray(renderops.to_rgba8(frame))
-            path = os.path.join(out_dir, f"frame_{i:05d}.png")
-            paths.append(ioutils.write_png(path, rgba8))
+            yield np.asarray(renderops.to_rgba8(frame))
             if progress:
                 progress(i)
         self.sim_state = SimState.STOPPED
+
+    def render_sequence(self, out_dir: str, frames: int, width=960, height=540,
+                        mode: str = "metaball",
+                        progress: Optional[Callable[[int], None]] = None):
+        """Offline render to PNGs (one per frame); see iter_frames for the
+        underlying cadence, render_mp4 for a PNG-free encode."""
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for i, rgba8 in enumerate(self.iter_frames(
+                frames, width, height, mode, progress)):
+            path = os.path.join(out_dir, f"frame_{i:05d}.png")
+            paths.append(ioutils.write_png(path, rgba8))
         return paths
+
+    def render_mp4(self, path: str, frames: int, width=960, height=540,
+                   mode: str = "metaball", fps: int = 30,
+                   progress: Optional[Callable[[int], None]] = None) -> str:
+        """Offline render straight to an mp4 — no PNG intermediates."""
+        ioutils.save_mp4(
+            path, self.iter_frames(frames, width, height, mode, progress),
+            fps=fps)
+        return path
 
     # -------------------------------------------------------------- metrics
 

@@ -42,7 +42,7 @@ def _add_common(p):
                    default="bounce")
     p.add_argument("--adaptive-subsampling", action="store_true",
                    help="stride pressure neighbors 1/5/13 at density "
-                        "150/200 (needs --neighbor-mode grid)")
+                        "150/200 (supported by every engine)")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="resume from / save to this .npz")
     p.add_argument("--circle", type=float, nargs=3, action="append",
@@ -103,7 +103,10 @@ def main(argv=None):
     render_p = sub.add_parser("render", help="offline render mode")
     _add_common(render_p)
     render_p.add_argument("--frames", type=int, default=60)
-    render_p.add_argument("--out", type=str, default="output")
+    render_p.add_argument("--out", type=str, default=None,
+                          help="PNG output dir (default 'output'; omitted "
+                               "when --mp4 is given: frames stream straight "
+                               "to the encoder, no PNG intermediates)")
     render_p.add_argument("--width", type=int, default=960)
     render_p.add_argument("--height", type=int, default=540)
     render_p.add_argument("--mode", choices=("metaball", "particles"),
@@ -170,17 +173,24 @@ def main(argv=None):
             print(f"saved frame {i+1}/{args.frames}, elapsed {elapsed:.1f}s, "
                   f"eta {eta:.1f}s")
 
-        paths = app.render_sequence(
-            args.out, args.frames, args.width, args.height,
-            mode=args.mode, progress=progress,
-        )
-        print(f"wrote {len(paths)} frames to {args.out}/")
-        if args.mp4:
-            from .utils import io as ioutils
-            ioutils.save_mp4(
-                args.mp4, (ioutils.read_png(p) for p in paths),
-                fps=args.fps)
+        if args.mp4 and args.out is None:
+            # PNG-free path: frames stream straight into the encoder
+            app.render_mp4(args.mp4, args.frames, args.width, args.height,
+                           mode=args.mode, fps=args.fps, progress=progress)
             print(f"encoded {args.mp4}")
+        else:
+            out = args.out or "output"
+            paths = app.render_sequence(
+                out, args.frames, args.width, args.height,
+                mode=args.mode, progress=progress,
+            )
+            print(f"wrote {len(paths)} frames to {out}/")
+            if args.mp4:
+                from .utils import io as ioutils
+                ioutils.save_mp4(
+                    args.mp4, (ioutils.read_png(p) for p in paths),
+                    fps=args.fps)
+                print(f"encoded {args.mp4}")
         if args.checkpoint:
             app.save(args.checkpoint)
         return 0
