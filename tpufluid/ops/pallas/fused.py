@@ -1,4 +1,4 @@
-"""Occupancy-aware fused Pallas kernels for the grid-resident engine (v2).
+"""Occupancy-aware fused Pallas kernels for the grid-resident engine (v3).
 
 These are the performance-critical native TPU kernels of the framework —
 the equivalents of the reference's WGSL compute pipeline
@@ -10,13 +10,18 @@ work regardless of real occupancy (~35% waste at K=8 / occupancy 4, and a
 Design (all measured on v5e, see BASELINE.md):
 
 * **Occupancy-bounded candidate loops.** The slot dimension is packed by
-  the rebin kernel (arrivals fill slots 0..count-1), so a per-row scalar
-  ``occ3[y] = max occupancy of rows y-1..y+1`` bounds the candidate slot
-  loop. The loop is a *static* unroll over K with each iteration guarded
-  by ``pl.when(kp < occ3)`` and accumulators in VMEM scratch — a dynamic
-  ``fori_loop`` measured *slower* than full static unroll (scalar-loop
-  overhead), while the guarded unroll tracks occupancy almost perfectly
-  (1.78x at occ=4/K=8, ~1x at occ=K).
+  the rebin kernel (arrivals fill slots 0..count-1), so per-row scalars
+  (``occ3[y]`` = max occupancy of rows y-1..y+1 bounding candidates,
+  ``occ_row[y]`` bounding targets) drive DYNAMIC ``lax.fori_loop``s over
+  8-slot sub-blocks with ``pl.ds`` slot slices: cost tracks occupancy at
+  one-sublane-tile granularity for ANY cell_capacity, from ONE compiled
+  kernel whose code size is flat in K. (Round-2's static K-unrolls hit an
+  instruction-streaming floor — a K=32 kernel cost a flat ~0.4 ms
+  regardless of occupancy; round 2's per-candidate ``pl.when`` guards
+  also serialized scalar branches against vector issue, so within a
+  sub-block the 8 candidates now run UNGUARDED in registers — sentinel
+  slots self-exclude via the range test — with one scratch RMW per
+  sub-block pair.)
 * **Whole-row skip.** Empty rows (``occ_row[y] == 0``) write defaults and
   skip everything — sparse worlds (the 4k dam-break) stop paying for the
   full grid.
@@ -54,6 +59,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -75,6 +81,28 @@ SENTINEL = 1.0e9
 SENTINEL_HALF = 5.0e8
 
 MAX_SPEED = 500.0  # compute.wgsl:118-122
+
+
+def _sub_blocks(k):
+    """Static (lo, hi) 8-slot sub-block slices of the slot axis.
+
+    The physics kernels guard every slot-dim operation per sub-block
+    against the row occupancy scalars, so their cost tracks occupancy at
+    8-slot (one sublane-tile) granularity for ANY cell_capacity — the
+    round-3 folding lever (ROADMAP).
+    """
+    return [(lo, min(lo + 8, k)) for lo in range(0, k, 8)]
+
+
+def _sub_h(k):
+    """Slot sub-block height: one sublane tile (8), or K itself below
+    that. K > 8 must be a multiple of 8 (ops.resident pads capacity) so
+    every dynamic ``pl.ds`` sub-block slice is in bounds."""
+    if k > 8 and k % 8 != 0:
+        raise ValueError(
+            f"cell_capacity {k} > 8 must be a multiple of 8 for the "
+            "fused resident kernels (ops.resident pads automatically)")
+    return min(8, k)
 
 
 def occ3_of(occ_row):
@@ -120,16 +148,19 @@ def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
     row offset; batched world stacks subtract -(world * Gy).
     """
     (h_inv, bx2, by2, half_x, half_y, cx_max, cy_max, k, gx, rblk,
-     rows_tot, k_out) = consts
+     rows_tot, k_out, act) = consts
     # k: source slot count actually scanned (capacity-sliced inputs hold
-    # only the occupied slot tiles); k_out: output capacity
+    # only the occupied slot tiles); k_out: output SHAPE capacity; act:
+    # slots actually packed (<= k_out) — the select loop runs on [act]
+    # tiles, arrivals beyond act are counted in oover (the caller redoes
+    # the step at full capacity when that happens, see ops.resident)
     opx, opy, ovx, ovy, oocc, ofar, oover = refs[-7:]
     rowrefs = [refs[j * 4:(j + 1) * 4] for j in range(rblk + 2)]
     dt = sc_ref[0]
     yb = pl.program_id(0)
 
     x_iota = jax.lax.broadcasted_iota(jnp.int32, (1, gx), 1)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (k_out, gx), 0)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (act, gx), 0)
     kin_iota = jax.lax.broadcasted_iota(jnp.int32, (k, gx), 0)
     # log-depth prefix masks hoisted out of the block cumsums (a single
     # serial count chain across all blocks was measured latency-bound;
@@ -180,10 +211,10 @@ def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
             # matches) — both measured cheaper than one count chain.
             prior = jnp.zeros((1, gx), jnp.int32)
             out = [
-                jnp.full((k_out, gx), SENTINEL, jnp.float32),
-                jnp.full((k_out, gx), SENTINEL, jnp.float32),
-                jnp.zeros((k_out, gx), jnp.float32),
-                jnp.zeros((k_out, gx), jnp.float32),
+                jnp.full((act, gx), SENTINEL, jnp.float32),
+                jnp.full((act, gx), SENTINEL, jnp.float32),
+                jnp.zeros((act, gx), jnp.float32),
+                jnp.zeros((act, gx), jnp.float32),
             ]
             n_far = jnp.int32(0)
 
@@ -231,7 +262,7 @@ def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
                     vxs = _roll_x(vx_r, dx)
                     vys = _roll_x(vy_r, dx)
                     dest = jnp.where(m_t, excl_cumsum_k(mi) + prior,
-                                     k_out)
+                                     act)
                     prior = prior + jnp.sum(mi, axis=0, keepdims=True)
                     for kk in range(k):
                         onehot = k_iota == dest[kk:kk + 1, :]
@@ -241,13 +272,14 @@ def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
                             out[f] = jnp.where(onehot, cand[f], out[f])
 
             count = prior
-            opx[i] = out[0]
-            opy[i] = out[1]
-            ovx[i] = out[2]
-            ovy[i] = out[3]
-            oocc[y] = jnp.max(jnp.minimum(count, k_out))
+            # tail slots [act:k_out] keep the sentinel default fill
+            opx[i, :act] = out[0]
+            opy[i, :act] = out[1]
+            ovx[i, :act] = out[2]
+            ovy[i, :act] = out[3]
+            oocc[y] = jnp.max(jnp.minimum(count, act))
             ofar[y] = n_far
-            oover[y] = jnp.sum(jnp.maximum(count - k_out, 0))
+            oover[y] = jnp.sum(jnp.maximum(count - act, 0))
 
 
 def _small_out_spec():
@@ -279,7 +311,7 @@ def _mout_spec(rblk, k, gx):
 
 def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
           row_offset=0, row_shift=None, rows_per_program=1,
-          out_capacity=None):
+          out_capacity=None, active_capacity=None):
     """Re-pack grid slots by next-step predicted cell (sentinel encoding).
 
     All grids [Gy, K, Gxp] f32 with empty slots at position SENTINEL;
@@ -294,10 +326,15 @@ def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
     tpufluid.parallel). ``row_shift``: i32[Gy] per-row override — row y's
     world-frame cell row is compared as ``cell_row - row_shift[y] == y``
     (batched world stacks, ops.resident.make_batched_grid_step).
+    ``active_capacity``: pack at most this many slots (output shape stays
+    k_out; the tail holds sentinels) — the select loop then runs on
+    active/8 sublane tiles; arrivals beyond it count in ``over_n`` and the
+    caller redoes the step at full capacity (ops.resident).
     """
     gy, k, gx = pos_x.shape
     rblk = rows_per_program
     k_out = out_capacity if out_capacity is not None else k
+    act = min(active_capacity, k_out) if active_capacity is not None else k_out
     assert gy % rblk == 0, (gy, rblk)
     h = float(settings.smoothing_radius)
     consts = (
@@ -308,7 +345,7 @@ def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
         float(settings.size[1]) * 0.5,
         settings.grid_w - 2,
         settings.grid_h - 2,
-        k, gx, rblk, gy, k_out,
+        k, gx, rblk, gy, k_out, act,
     )
     kernel = functools.partial(_rebin_kernel, consts)
     dt_arr = jnp.asarray(dt, jnp.float32).reshape(1)
@@ -347,15 +384,21 @@ def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
 
 def _density_kernel(consts, sc_ref, wid_ref, occc_ref, occ3_ref, *refs):
     """pres = k*(rho - rho0) and 1/rho per slot (funcs.wgsl:157-203 +
-    152-154), candidate loop bounded by occ3; RBLK center rows per
-    program (amortizes the flat per-program overhead)."""
+    152-154); RBLK center rows per program (amortizes the flat
+    per-program overhead).
+
+    Sub-row slot folding: candidate scan AND target accumulation run per
+    8-slot sub-block, each guarded by the row occupancy scalars (occ3
+    bounds candidates, occ_c bounds targets), so cost tracks per-row
+    occupancy at one-sublane-tile granularity for any cell_capacity."""
     (h2, norm, k, gx, rblk, rows_tot) = consts
     # sc: [W, 6] = per-world [mass, dt, k_pressure, rest_density, half_x,
     # half_y]; wid_ref: i32[Gy] world of each row (all 0 unbatched)
-    pres_ref, invr_ref = refs[-3:-1]
-    acc_ref = refs[-1]  # scratch [K, Gx]
+    pres_ref, invr_ref = refs[-5:-3]
+    tpx_ref, tpy_ref, acc_ref = refs[-3:]  # scratch [K, Gx] each
     rowrefs = [refs[j * 4:(j + 1) * 4] for j in range(rblk + 2)]
     yb = pl.program_id(0)
+    sub = _sub_h(k)
     for i in range(rblk):
         y = yb * rblk + i
         occ_c = occc_ref[y]
@@ -375,47 +418,104 @@ def _density_kernel(consts, sc_ref, wid_ref, occc_ref, occ3_ref, *refs):
         invr_ref[i] = jnp.full((k, gx), 10.0, jnp.float32)
 
         @pl.when(occ_c > 0)
-        def _(i=i, occ3=occ3, mass=mass, dt=dt, kp_c=kp_c, rho0=rho0,
-              half_x=half_x, half_y=half_y):
+        def _(i=i, occ_c=occ_c, occ3=occ3, mass=mass, dt=dt, kp_c=kp_c,
+              rho0=rho0, half_x=half_x, half_y=half_y):
             rows = rowrefs[i:i + 3]
-            # predictions hoisted to one [K, Gx] pass per source row —
-            # [1, Gx] strip math costs the same masked tiles as full rows
-            preds = [
-                _pred_rows(rows[r][0][0], rows[r][1][0], rows[r][2][0],
-                           rows[r][3][0], dt, half_x, half_y)
-                for r in range(3)
-            ]
-            px0, py0 = preds[1]
-            # one [K, Gx] roll per (row, dx) block (see forces kernel)
-            rolled = {}
-            for r in range(3):
-                for dx in (-1, 0, 1):
-                    rolled[(r, dx)] = (_roll_x(preds[r][0], dx),
-                                       _roll_x(preds[r][1], dx))
-            acc_ref[...] = jnp.zeros((k, gx), jnp.float32)
-            for kp in range(k):
-                @pl.when(kp < occ3)
-                def _(kp=kp):
-                    acc = jnp.zeros((k, gx), jnp.float32)
-                    for r in range(3):
-                        for dx in (-1, 0, 1):
-                            nx = rolled[(r, dx)][0][kp:kp + 1, :]
-                            ny = rolled[(r, dx)][1][kp:kp + 1, :]
-                            ddx = nx - px0
-                            ddy = ny - py0
-                            r2 = ddx * ddx + ddy * ddy
-                            # max(diff,0)^3 == where(r2>h2, 0, diff^3)
-                            # exactly, one op cheaper
-                            diff = jnp.maximum(h2 - r2, 0.0)
-                            acc = acc + diff * diff * diff
-                    acc_ref[...] = acc_ref[...] + acc
+            # DYNAMIC sub-block loops (lax.fori_loop + pl.ds): candidate
+            # scan runs ceil(occ3/8) sub-blocks, target work ceil(occ_c/8)
+            # — cost tracks per-row occupancy at one-sublane-tile
+            # granularity for ANY cell_capacity with FLAT code size
+            # (static unrolls over K/8 sub-block pairs measured a flat
+            # ~0.4 ms/kernel floor at K=32 regardless of occupancy —
+            # instruction streaming, not compute). Within a sub-block the
+            # 8 candidates run unguarded in registers (sentinels
+            # self-exclude via the range test).
+            n3 = (occ3 + (sub - 1)) // sub
+            nt = (occ_c + (sub - 1)) // sub
+
+            # pre-pass: center-row predictions (the targets AND the r=1
+            # candidates) + zeroed accumulators, per live sub-block
+            def pre_body(b, carry):
+                o = pl.multiple_of(b * sub, sub)
+                prx, pry = _pred_rows(
+                    rows[1][0][0, pl.ds(o, sub)],
+                    rows[1][1][0, pl.ds(o, sub)],
+                    rows[1][2][0, pl.ds(o, sub)],
+                    rows[1][3][0, pl.ds(o, sub)],
+                    dt, half_x, half_y)
+                tpx_ref[pl.ds(o, sub)] = prx
+                tpy_ref[pl.ds(o, sub)] = pry
+
+                @pl.when(b < nt)
+                def _():
+                    acc_ref[pl.ds(o, sub)] = jnp.zeros((sub, gx),
+                                                       jnp.float32)
+                return carry
+
+            lax.fori_loop(0, n3, pre_body, 0)
+
+            def cand_body(b, carry):
+                o = pl.multiple_of(b * sub, sub)
+                preds = []
+                for r in range(3):
+                    if r == 1:
+                        preds.append((tpx_ref[pl.ds(o, sub)],
+                                      tpy_ref[pl.ds(o, sub)]))
+                    else:
+                        preds.append(_pred_rows(
+                            rows[r][0][0, pl.ds(o, sub)],
+                            rows[r][1][0, pl.ds(o, sub)],
+                            rows[r][2][0, pl.ds(o, sub)],
+                            rows[r][3][0, pl.ds(o, sub)],
+                            dt, half_x, half_y))
+                # one [8, Gx] roll per (row, dx) block and field
+                rolled = {}
+                for r in range(3):
+                    for dx in (-1, 0, 1):
+                        rolled[(r, dx)] = (_roll_x(preds[r][0], dx),
+                                           _roll_x(preds[r][1], dx))
+
+                def tgt_body(t, c2):
+                    to = pl.multiple_of(t * sub, sub)
+                    px0 = tpx_ref[pl.ds(to, sub)]
+                    py0 = tpy_ref[pl.ds(to, sub)]
+                    acc = jnp.zeros((sub, gx), jnp.float32)
+                    for kp in range(sub):
+                        for r in range(3):
+                            for dx in (-1, 0, 1):
+                                rl = rolled[(r, dx)]
+                                nx = rl[0][kp:kp + 1, :]
+                                ny = rl[1][kp:kp + 1, :]
+                                ddx = nx - px0
+                                ddy = ny - py0
+                                r2 = ddx * ddx + ddy * ddy
+                                # max(diff,0)^3 ==
+                                # where(r2>h2, 0, diff^3)
+                                # exactly, one op cheaper
+                                diff = jnp.maximum(h2 - r2, 0.0)
+                                acc = acc + diff * diff * diff
+                    acc_ref[pl.ds(to, sub)] = (
+                        acc_ref[pl.ds(to, sub)] + acc)
+                    return c2
+
+                lax.fori_loop(0, nt, tgt_body, 0)
+                return carry
+
+            lax.fori_loop(0, n3, cand_body, 0)
+
             # rho = m * norm * sum(w) — the reference sums m*W per pair
             # (funcs.wgsl:195); with default mass 1.0 bitwise equal,
             # otherwise within 1 ulp/pair (resident parity is tolerance).
-            rho = mass * (jnp.float32(norm) * acc_ref[...])
-            rho = jnp.maximum(jnp.maximum(rho, 1.19209290e-07), 0.1)
-            pres_ref[i] = kp_c * (rho - rho0)
-            invr_ref[i] = 1.0 / rho
+            def post_body(t, carry):
+                to = pl.multiple_of(t * sub, sub)
+                rho = mass * (jnp.float32(norm) * acc_ref[pl.ds(to, sub)])
+                rho = jnp.maximum(
+                    jnp.maximum(rho, 1.19209290e-07), 0.1)
+                pres_ref[i, pl.ds(to, sub)] = kp_c * (rho - rho0)
+                invr_ref[i, pl.ds(to, sub)] = 1.0 / rho
+                return carry
+
+            lax.fori_loop(0, nt, post_body, 0)
 
 
 def density(pos_x, pos_y, vel_x, vel_y, occ_row, mass, dt, pressure_constant,
@@ -456,7 +556,7 @@ def density(pos_x, pos_y, vel_x, vel_y, occ_row, mass, dt, pressure_constant,
             jax.ShapeDtypeStruct((gy, k, gx), f32),
             jax.ShapeDtypeStruct((gy, k, gx), f32),
         ),
-        scratch_shapes=[pltpu.VMEM((k, gx), f32)],
+        scratch_shapes=[pltpu.VMEM((k, gx), f32)] * 3,  # tpx, tpy, acc
         interpret=_interpret(),
         name="sph_density_fused",
     )(sc, jnp.asarray(wid, jnp.int32), occ_row, occ3,
@@ -468,8 +568,10 @@ def density(pos_x, pos_y, vel_x, vel_y, occ_row, mass, dt, pressure_constant,
 def _forces_kernel(consts, flags, sc_ref, frame_ref, wid_ref, occc_ref,
                    occ3_ref, *refs):
     """Pressure + viscosity forces (compute.wgsl:160-299) fused with the
-    full integration (compute.wgsl:95-155), candidate loop bounded by occ3.
-    Outputs the NEW (pos, vel) grids (sentinel-preserving).
+    full integration (compute.wgsl:95-155). Outputs the NEW (pos, vel)
+    grids (sentinel-preserving). Sub-row slot folding as in
+    _density_kernel: candidate scan bounded by occ3, target work bounded
+    by occ_c, both at 8-slot sub-block granularity.
 
     Variant flags (static): surface tension (compute.wgsl:303-498, self
     included) and adaptive subsampling (shaders/compute.wgsl:170-174,195,
@@ -480,7 +582,7 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, wid_ref, occc_ref,
      rows_tot) = consts
     (wrap_x, has_ff, surface_tension, adaptive) = flags
     # refs layout (front-based): 6*(rblk+2) field refs, [ff refs], 4
-    # output refs, 5 scratch refs, [3 surface-tension scratch refs]
+    # output refs, 9 scratch refs, [5 surface-tension scratch refs]
     rowrefs = [refs[j * 6:(j + 1) * 6] for j in range(rblk + 2)]
     idx = 6 * (rblk + 2)
     if has_ff:
@@ -488,8 +590,10 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, wid_ref, occc_ref,
         idx += 2
     npx_ref, npy_ref, nvx_ref, nvy_ref = refs[idx:idx + 4]
     sfx_ref, sfy_ref, sgx_ref, sgy_ref, scc_ref = refs[idx + 4:idx + 9]
+    tpx_ref, tpy_ref, d0x_ref, d0y_ref = refs[idx + 9:idx + 13]
     if surface_tension:
-        cgx_ref, cgy_ref, clap_ref = refs[idx + 9:idx + 12]
+        (cgx_ref, cgy_ref, clap_ref,
+         stx_ref, sty_ref) = refs[idx + 13:idx + 18]
     yb = pl.program_id(0)
     frame = frame_ref[0]
 
@@ -505,9 +609,12 @@ def _forces_kernel(consts, flags, sc_ref, frame_ref, wid_ref, occc_ref,
             ffx_ref if has_ff else None, ffy_ref if has_ff else None,
             npx_ref, npy_ref, nvx_ref, nvy_ref,
             sfx_ref, sfy_ref, sgx_ref, sgy_ref, scc_ref,
+            tpx_ref, tpy_ref, d0x_ref, d0y_ref,
             cgx_ref if surface_tension else None,
             cgy_ref if surface_tension else None,
             clap_ref if surface_tension else None,
+            stx_ref if surface_tension else None,
+            sty_ref if surface_tension else None,
             h3, _c_neg_inv_2h3, _c_inv_h2, _c_half_h)
 
 
@@ -515,7 +622,8 @@ def _forces_one_row(i, y, rows, consts, flags, sc_ref, frame, wid_ref,
                     occc_ref, occ3_ref, ffx_ref, ffy_ref,
                     npx_ref, npy_ref, nvx_ref, nvy_ref,
                     sfx_ref, sfy_ref, sgx_ref, sgy_ref, scc_ref,
-                    cgx_ref, cgy_ref, clap_ref,
+                    tpx_ref, tpy_ref, d0x_ref, d0y_ref,
+                    cgx_ref, cgy_ref, clap_ref, stx_ref, sty_ref,
                     h3, _c_neg_inv_2h3, _c_inv_h2, _c_half_h):
     """Forces + integration for ONE center row (see _forces_kernel)."""
     (h, h2, sqr_radius, spiky_norm, visc_norm, k, gx, rblk,
@@ -546,304 +654,450 @@ def _forces_one_row(i, y, rows, consts, flags, sc_ref, frame, wid_ref,
     npy_ref[i] = jnp.full((k, gx), SENTINEL, jnp.float32)
     nvx_ref[i] = jnp.zeros((k, gx), jnp.float32)
     nvy_ref[i] = jnp.zeros((k, gx), jnp.float32)
+    sub = _sub_h(k)
 
     @pl.when(occ_c > 0)
     def _():
-        pos_x0 = rows[1][0][0]
-        pos_y0 = rows[1][1][0]
-        vx0 = rows[1][2][0]
-        vy0 = rows[1][3][0]
-        p_self = rows[1][4][0]
-        invr0 = rows[1][5][0]
-        # predictions hoisted to one [K, Gx] pass per source row (strip
-        # math costs full masked tiles on the VPU)
-        preds = [
-            _pred_rows(rows[r][0][0], rows[r][1][0], rows[r][2][0],
-                       rows[r][3][0], dt, half_x, half_y)
-            for r in range(3)
-        ]
-        px0, py0 = preds[1]
-        k_self = jax.lax.broadcasted_iota(jnp.int32, (k, gx), 0)
-
-        # Tie-break direction table, once per program: position-hash seed
-        # + frame salt (cf. ops.pallas.sph / compute.wgsl:161,211-215).
-        # The fused engine derives the 4 (pair-order salt, draw ordinal)
-        # variants from ONE xorshift chain by rotation/reflection — a
-        # documented tie-contract deviation (the table only breaks exact
-        # coincidences; it needs determinism and distinct directions, not
-        # a specific stream), saving ~3 PRNG chains of per-program VPU
-        # work on a path that is almost always unused.
-        bx = _bitcast_u32(px0)
-        by = _bitcast_u32(py0)
-        seed_self = ((bx * jnp.uint32(0x9E3779B1))
-                     ^ (by * jnp.uint32(0x85EBCA6B)))
-        seed_self = seed_self + frame * jnp.uint32(69)
-        s1 = _xorshift32(seed_self)
-        s2 = _xorshift32(s1)
-        rx = _u01(s1)
-        ry = _u01(s2)
-        inv = jax.lax.rsqrt(jnp.maximum(rx * rx + ry * ry, 1e-30))
-        d0x = rx * inv
-        d0y = ry * inv
-        tie_dirs = {
-            (0, 0): (d0x, d0y),
-            (0, 1): (-d0y, d0x),
-            (1, 0): (-d0x, -d0y),
-            (1, 1): (d0y, -d0x),
-        }
-
-        sfx_ref[...] = jnp.zeros((k, gx), jnp.float32)
-        sfy_ref[...] = jnp.zeros((k, gx), jnp.float32)
-        sgx_ref[...] = jnp.zeros((k, gx), jnp.float32)
-        sgy_ref[...] = jnp.zeros((k, gx), jnp.float32)
-        scc_ref[...] = jnp.zeros((k, gx), jnp.uint32)
-
-        # one [K, Gx] roll per (row, dx) block for all six fields —
-        # per-(kp, block) strip rolls cost full masked tiles and scale
-        # with occupancy; these 54 rolls are occupancy-independent
-        rolled = {}
-        for r in range(3):
-            flds = (preds[r][0], preds[r][1], rows[r][2][0], rows[r][3][0],
-                    rows[r][4][0], rows[r][5][0])
-            for dx in (-1, 0, 1):
-                rolled[(r, dx)] = tuple(_roll_x(f, dx) for f in flds)
-
         if surface_tension:
             st_grad_norm = -24.0 / (PI * h**8)
             st_lap_norm = 8.0 / (PI * h**8)
-            # seed per compute.wgsl:406 from the PREDICTED x (the [N]
-            # engines' contract; WGSL u32(f32) saturates negatives to 0)
-            st_i = jnp.maximum(px0, 0.0).astype(jnp.int32)
-            st_seed = (_bitcast_u32(st_i) * jnp.uint32(324)
-                       + frame * jnp.uint32(5632))
-            st1 = _xorshift32(st_seed)
-            st2 = _xorshift32(st1)
-            strx = _u01(st1)
-            stry = _u01(st2)
-            strn = jnp.sqrt(strx * strx + stry * stry)
-            strn = jnp.where(strn == 0.0, 1.0, strn)
-            st_dx = strx / strn
-            st_dy = stry / strn
-            cgx_ref[...] = jnp.zeros((k, gx), jnp.float32)
-            cgy_ref[...] = jnp.zeros((k, gx), jnp.float32)
-            clap_ref[...] = jnp.zeros((k, gx), jnp.float32)
-        if adaptive:
-            rho_self = 1.0 / invr0
 
-        for kp in range(k):
-            @pl.when(kp < occ3)
-            def _(kp=kp):
-                fx = jnp.zeros((k, gx), jnp.float32)
-                fy = jnp.zeros((k, gx), jnp.float32)
-                gx_ = jnp.zeros((k, gx), jnp.float32)
-                gy_ = jnp.zeros((k, gx), jnp.float32)
+        # DYNAMIC sub-block loops, as in _density_kernel: candidate scan
+        # ceil(occ3/8) sub-blocks, target work ceil(occ_c/8), flat code
+        # size in K (static unrolls measured instruction-streaming-bound
+        # at K=32).
+        n3 = (occ3 + (sub - 1)) // sub
+        nt = (occ_c + (sub - 1)) // sub
+
+        # ---- pre-pass per sub-block: center predictions (candidates r=1
+        # and the targets), and per-TARGET scratch — tie-break base
+        # direction, zeroed accumulators. The tie table derives its 4
+        # (pair-order salt, draw ordinal) variants from ONE xorshift chain
+        # by rotation/reflection — a documented tie-contract deviation
+        # (cf. ops.pallas.sph / compute.wgsl:161,211-215: the table only
+        # breaks exact coincidences; it needs determinism and distinct
+        # directions, not a specific stream).
+        def pre_body(b, carry):
+            o = pl.multiple_of(b * sub, sub)
+            prx, pry = _pred_rows(
+                rows[1][0][0, pl.ds(o, sub)],
+                rows[1][1][0, pl.ds(o, sub)],
+                rows[1][2][0, pl.ds(o, sub)],
+                rows[1][3][0, pl.ds(o, sub)],
+                dt, half_x, half_y)
+            tpx_ref[pl.ds(o, sub)] = prx
+            tpy_ref[pl.ds(o, sub)] = pry
+
+            @pl.when(b < nt)
+            def _(prx=prx, pry=pry):
+                bx = _bitcast_u32(prx)
+                by = _bitcast_u32(pry)
+                seed_self = ((bx * jnp.uint32(0x9E3779B1))
+                             ^ (by * jnp.uint32(0x85EBCA6B)))
+                seed_self = seed_self + frame * jnp.uint32(69)
+                s1 = _xorshift32(seed_self)
+                s2 = _xorshift32(s1)
+                rx = _u01(s1)
+                ry = _u01(s2)
+                inv = jax.lax.rsqrt(
+                    jnp.maximum(rx * rx + ry * ry, 1e-30))
+                d0x_ref[pl.ds(o, sub)] = rx * inv
+                d0y_ref[pl.ds(o, sub)] = ry * inv
+                z = jnp.zeros((sub, gx), jnp.float32)
+                sfx_ref[pl.ds(o, sub)] = z
+                sfy_ref[pl.ds(o, sub)] = z
+                sgx_ref[pl.ds(o, sub)] = z
+                sgy_ref[pl.ds(o, sub)] = z
+                scc_ref[pl.ds(o, sub)] = jnp.zeros((sub, gx), jnp.uint32)
                 if surface_tension:
-                    cg_x = jnp.zeros((k, gx), jnp.float32)
-                    cg_y = jnp.zeros((k, gx), jnp.float32)
-                    cl_ = jnp.zeros((k, gx), jnp.float32)
-                for r in range(3):
-                    for dx in (-1, 0, 1):
-                        rl = rolled[(r, dx)]
-                        nx = rl[0][kp:kp + 1, :]
-                        ny = rl[1][kp:kp + 1, :]
-                        nvx = rl[2][kp:kp + 1, :]
-                        nvy = rl[3][kp:kp + 1, :]
-                        p_nb = rl[4][kp:kp + 1, :]
-                        inv_rho = rl[5][kp:kp + 1, :]
-                        is_center = (r == 1 and dx == 0)
+                    # seed per compute.wgsl:406 from the PREDICTED x
+                    # (the [N] engines' contract; WGSL u32(f32)
+                    # saturates negatives to 0)
+                    st_i = jnp.maximum(prx, 0.0).astype(jnp.int32)
+                    st_seed = (_bitcast_u32(st_i) * jnp.uint32(324)
+                               + frame * jnp.uint32(5632))
+                    st1 = _xorshift32(st_seed)
+                    st2 = _xorshift32(st1)
+                    strx = _u01(st1)
+                    stry = _u01(st2)
+                    strn = jnp.sqrt(strx * strx + stry * stry)
+                    strn = jnp.where(strn == 0.0, 1.0, strn)
+                    stx_ref[pl.ds(o, sub)] = strx / strn
+                    sty_ref[pl.ds(o, sub)] = stry / strn
+                    cgx_ref[pl.ds(o, sub)] = z
+                    cgy_ref[pl.ds(o, sub)] = z
+                    clap_ref[pl.ds(o, sub)] = z
+            return carry
 
-                        ddx = nx - px0
-                        ddy = ny - py0
-                        r2 = ddx * ddx + ddy * ddy
-                        # one rsqrt replaces sqrt + divide (multi-pass VPU
-                        # ops); dst = r2 * rsqrt(r2) == sqrt(r2) to 1 ulp.
-                        # max() (not a where) floors r2: at r2 == 0, inv
-                        # is ~3e17 but dst = 0 * inv = 0 and dir = 0 — the
-                        # coincident path overwrites dir and kv anyway.
-                        inv_dst = jax.lax.rsqrt(jnp.maximum(r2, 1e-35))
-                        dst = r2 * inv_dst
-                        in_range = r2 <= sqr_radius
-                        if is_center:
-                            in_range = in_range & (k_self != kp)
+        lax.fori_loop(0, n3, pre_body, 0)
 
-                        dirx = ddx * inv_dst
-                        diry = ddy * inv_dst
+        # ---- candidate loop: per candidate sub-block, roll the six
+        # neighbor fields once ([8, Gx] per (row, dx) block), then per
+        # target sub-block accumulate all 8 candidates in registers
+        # (one scratch RMW per pair; sentinels self-exclude)
+        def cand_body(b, carry):
+            o = pl.multiple_of(b * sub, sub)
+            preds = []
+            for r in range(3):
+                if r == 1:
+                    preds.append((tpx_ref[pl.ds(o, sub)],
+                                  tpy_ref[pl.ds(o, sub)]))
+                else:
+                    preds.append(_pred_rows(
+                        rows[r][0][0, pl.ds(o, sub)],
+                        rows[r][1][0, pl.ds(o, sub)],
+                        rows[r][2][0, pl.ds(o, sub)],
+                        rows[r][3][0, pl.ds(o, sub)],
+                        dt, half_x, half_y))
+            rolled = {}
+            for r in range(3):
+                flds = (preds[r][0], preds[r][1],
+                        rows[r][2][0, pl.ds(o, sub)],
+                        rows[r][3][0, pl.ds(o, sub)],
+                        rows[r][4][0, pl.ds(o, sub)],
+                        rows[r][5][0, pl.ds(o, sub)])
+                for dx in (-1, 0, 1):
+                    rolled[(r, dx)] = tuple(
+                        _roll_x(f, dx) for f in flds)
 
-                        if is_center:
-                            # coincident-pair random direction
-                            # (compute.wgsl:211-215) — same-cell only:
-                            # dst==0 implies bitwise-equal positions,
-                            # hence the same cell.
-                            coincident = in_range & (dst == 0.0)
-                            has_prior = scc_ref[...] >= jnp.uint32(1)
-                            salted = kp < k_self
-                            tx = jnp.where(
-                                salted,
-                                jnp.where(has_prior, tie_dirs[(1, 1)][0],
-                                          tie_dirs[(1, 0)][0]),
-                                jnp.where(has_prior, tie_dirs[(0, 1)][0],
-                                          tie_dirs[(0, 0)][0]))
-                            ty = jnp.where(
-                                salted,
-                                jnp.where(has_prior, tie_dirs[(1, 1)][1],
-                                          tie_dirs[(1, 0)][1]),
-                                jnp.where(has_prior, tie_dirs[(0, 1)][1],
-                                          tie_dirs[(0, 0)][1]))
-                            dirx = jnp.where(coincident, tx, dirx)
-                            diry = jnp.where(coincident, ty, diry)
-                            scc_ref[...] = (
-                                scc_ref[...]
-                                + coincident.astype(jnp.uint32))
+            def tgt_body(t, c2):
+                to = pl.multiple_of(t * sub, sub)
+                _forces_cand_block(
+                    rows, rolled, o, to, sub,
+                    consts, flags, sc_ref, w,
+                    tpx_ref, tpy_ref, d0x_ref, d0y_ref,
+                    sfx_ref, sfy_ref, sgx_ref, sgy_ref,
+                    scc_ref, cgx_ref, cgy_ref, clap_ref,
+                    stx_ref, sty_ref,
+                    st_grad_norm if surface_tension else 0,
+                    st_lap_norm if surface_tension else 0,
+                    _c_neg_inv_2h3, _c_inv_h2, _c_half_h)
+                return c2
 
-                        # shared pressure's 0.5 is folded into the spiky
-                        # constant; the dst <= h gate is folded into
-                        # in_range (r2 <= h^2) — they differ only in the
-                        # 1-ulp rounding sliver of dst = sqrt-ish(r2)
-                        shared_p = p_self + p_nb
-                        kern_p = (dst - h) * (0.5 * spiky_norm)
-                        in_range_p = in_range
-                        if adaptive:
-                            # static kp => stride tests fold to constants
-                            c5 = jnp.float32(1.0 if kp % 5 == 0 else 0.0)
-                            c13 = jnp.float32(1.0 if kp % 13 == 0 else 0.0)
-                            sub = jnp.where(
-                                rho_self >= 200.0, c13,
-                                jnp.where(rho_self >= 150.0, c5, 1.0))
-                            in_range_p = in_range & (sub > 0.0)
-                        wp = jnp.where(
-                            in_range_p, kern_p * shared_p * inv_rho, 0.0)
-                        fx = fx + dirx * wp
-                        fy = fy + diry * wp
+            lax.fori_loop(0, nt, tgt_body, 0)
+            return carry
 
-                        if surface_tension:
-                            # self-pair INCLUDED (pairs.color_field_*)
-                            ok_st = r2 <= sqr_radius
-                            co_st = ok_st & (dst == 0.0)
-                            sdx = jnp.where(co_st, st_dx, dirx)
-                            sdy = jnp.where(co_st, st_dy, diry)
-                            rlen2 = sdx * sdx + sdy * sdy
-                            rlen = jnp.sqrt(rlen2)
-                            gdiff = h2 - rlen2
-                            gsc = jnp.where(
-                                (rlen >= h) | (rlen == 0.0), 0.0,
-                                jnp.float32(st_grad_norm) * gdiff * gdiff)
-                            m_rho = sc_ref[w, 14] * inv_rho
-                            cg_x = cg_x + jnp.where(
-                                ok_st, m_rho * gsc * sdx, 0.0)
-                            cg_y = cg_y + jnp.where(
-                                ok_st, m_rho * gsc * sdy, 0.0)
-                            lap = jnp.where(
-                                dst > h, 0.0,
-                                jnp.float32(st_lap_norm) * (h2 - r2)
-                                * (3.0 * h2 - 4.0 * r2))
-                            cl_ = cl_ + jnp.where(ok_st, m_rho * lap, 0.0)
+        lax.fori_loop(0, n3, cand_body, 0)
 
-                        # viscosity kernel (funcs.wgsl:112-123),
-                        # division-free form (ops.pallas.sph); the
-                        # dst <= h gate is folded into in_range like kern_p
-                        kv = (r2 * dst * _c_neg_inv_2h3 + r2 * _c_inv_h2
-                              + inv_dst * _c_half_h - 1.0)
-                        if is_center:
-                            kv = jnp.where(dst == 0.0, 1.0, kv)
-                        wv = jnp.where(in_range, kv * inv_rho, 0.0)
-                        gx_ = gx_ + (nvx - vx0) * wv
-                        gy_ = gy_ + (nvy - vy0) * wv
-                sfx_ref[...] = sfx_ref[...] + fx
-                sfy_ref[...] = sfy_ref[...] + fy
-                sgx_ref[...] = sgx_ref[...] + gx_
-                sgy_ref[...] = sgy_ref[...] + gy_
-                if surface_tension:
-                    cgx_ref[...] = cgx_ref[...] + cg_x
-                    cgy_ref[...] = cgy_ref[...] + cg_y
-                    clap_ref[...] = clap_ref[...] + cl_
+        # ---- integration (compute.wgsl:95-155), fused, per live
+        # target sub-block ----
+        def int_body(t, carry):
+            to = pl.multiple_of(t * sub, sub)
+            _forces_integrate_sub(
+                i, to, sub, rows, consts, flags, sc_ref, w, frame,
+                ffx_ref, ffy_ref, npx_ref, npy_ref, nvx_ref, nvy_ref,
+                sfx_ref, sfy_ref, sgx_ref, sgy_ref,
+                tpx_ref, tpy_ref, cgx_ref, cgy_ref, clap_ref)
+            return carry
 
-        # ---- integration (compute.wgsl:95-155), fused ----
-        visc_mu = jnp.float32(visc_norm) * mu
-        accel_x = sfx_ref[...] + sgx_ref[...] * visc_mu
-        accel_y = sfy_ref[...] + sgy_ref[...] * visc_mu
+        lax.fori_loop(0, nt, int_body, 0)
+
+
+def _forces_integrate_sub(i, to, sub, rows, consts, flags, sc_ref, w,
+                          frame, ffx_ref, ffy_ref,
+                          npx_ref, npy_ref, nvx_ref, nvy_ref,
+                          sfx_ref, sfy_ref, sgx_ref, sgy_ref,
+                          tpx_ref, tpy_ref, cgx_ref, cgy_ref, clap_ref):
+    """Fused integration for one target sub-block (see _forces_one_row)."""
+    (h, h2, sqr_radius, spiky_norm, visc_norm, k, gx, rblk,
+     rows_tot) = consts
+    (wrap_x, has_ff, surface_tension, adaptive) = flags
+    dt = sc_ref[w, 0]
+    mu = sc_ref[w, 1]
+    grav_x = sc_ref[w, 2]
+    grav_y = sc_ref[w, 3]
+    damping = sc_ref[w, 4]
+    mouse_x = sc_ref[w, 5]
+    mouse_y = sc_ref[w, 6]
+    mouse_radius = sc_ref[w, 7]
+    mouse_power = sc_ref[w, 8]
+    mouse_state = sc_ref[w, 9]
+    half_x = sc_ref[w, 10]
+    half_y = sc_ref[w, 11]
+    ff_sx = sc_ref[w, 12]
+    ff_sy = sc_ref[w, 13]
+    tlo = pl.ds(to, sub)
+    pos_x0 = rows[1][0][0, tlo]
+    pos_y0 = rows[1][1][0, tlo]
+    vx0 = rows[1][2][0, tlo]
+    vy0 = rows[1][3][0, tlo]
+    invr0 = rows[1][5][0, tlo]
+    px0 = tpx_ref[tlo]
+    py0 = tpy_ref[tlo]
+    visc_mu = jnp.float32(visc_norm) * mu
+    accel_x = sfx_ref[tlo] + sgx_ref[tlo] * visc_mu
+    accel_y = sfy_ref[tlo] + sgy_ref[tlo] * visc_mu
+    if surface_tension:
+        # pairs.surface_tension composition
+        # (compute.wgsl:303-315)
+        cgx = cgx_ref[tlo]
+        cgy = cgy_ref[tlo]
+        clap = clap_ref[tlo]
+        n_len = jnp.sqrt(cgx * cgx + cgy * cgy)
+        safe_len = jnp.where(n_len == 0.0, 1.0, n_len)
+        k_st = (-clap) / (n_len + 1e-6)
+        apply_st = n_len > sc_ref[w, 15]
+        coef = sc_ref[w, 16]
+        accel_x = accel_x + jnp.where(
+            apply_st, -coef * k_st * (cgx / safe_len), 0.0)
+        accel_y = accel_y + jnp.where(
+            apply_st, -coef * k_st * (cgy / safe_len), 0.0)
+    vx = vx0 + accel_x * invr0 * dt + grav_x * dt
+    vy = vy0 + accel_y * invr0 * dt + grav_y * dt
+
+    # mouse impulse (compute.wgsl:99-108)
+    diffx = mouse_x - px0
+    diffy = mouse_y - py0
+    dist = jnp.sqrt(diffx * diffx + diffy * diffy)
+    msafe = jnp.where(dist == 0.0, 1.0, dist)
+    iscale = (mouse_power * mouse_state
+              * (dist / mouse_radius) / (msafe * msafe))
+    # dist==0 under an active press is 0/0=NaN in the
+    # reference; the NaN reset below then zeroes the
+    # velocity. Reproduce explicitly.
+    iscale = jnp.where(
+        dist == 0.0, jnp.float32(jnp.nan), iscale)
+    apply_m = (mouse_state != 0.0) & (dist <= mouse_radius)
+    vx = jnp.where(apply_m, vx + diffx * iscale, vx)
+    vy = jnp.where(apply_m, vy + diffy * iscale, vy)
+
+    # NaN reset (compute.wgsl:113-116)
+    nan_any = (vx != vx) | (vy != vy)
+    vx = jnp.where(nan_any, 0.0, vx)
+    vy = jnp.where(nan_any, 0.0, vy)
+
+    # speed clamp (compute.wgsl:118-122)
+    sp = jnp.sqrt(vx * vx + vy * vy)
+    fast = sp > MAX_SPEED
+    scl = MAX_SPEED / jnp.where(fast, sp, 1.0)
+    vx = jnp.where(fast, vx * scl, vx)
+    vy = jnp.where(fast, vy * scl, vy)
+
+    px = pos_x0 + vx * dt
+    py = pos_y0 + vy * dt
+
+    if has_ff:
+        # obstacle force field at CELL granularity (the
+        # reference samples per-particle texels,
+        # compute.wgsl:127-140; here one push-out vector per
+        # grid cell — documented approximation, see
+        # ops.resident). Field values are PIXEL-space
+        # vectors; the normal is normalized in pixel space
+        # like the reference, the position push is scaled to
+        # world units per axis.
+        ffx = ffx_ref[i]  # [1, Gx] pixel-space push-out
+        ffy = ffy_ref[i]
+        hit = (ffx != 0.0) | (ffy != 0.0)
+        fn = jnp.sqrt(ffx * ffx + ffy * ffy)
+        fsafe = jnp.where(fn == 0.0, 1.0, fn)
+        nhx = ffx / fsafe
+        nhy = ffy / fsafe
+        px = jnp.where(hit, px + ffx * ff_sx, px)
+        py = jnp.where(hit, py + ffy * ff_sy, py)
+        vn = vx * nhx + vy * nhy
+        vx = jnp.where(hit, vx - (1.0 - damping) * vn * nhx,
+                       vx)
+        vy = jnp.where(hit, vy - (1.0 - damping) * vn * nhy,
+                       vy)
+
+    # boundary clamp + bounce / x-wrap (compute.wgsl:143-153,
+    # shaders/compute.wgsl:145-146)
+    outx = jnp.abs(px) > half_x
+    outy = jnp.abs(py) > half_y
+    if wrap_x:
+        px = jnp.where(outx, -half_x * jnp.sign(px), px)
+    else:
+        px = jnp.where(outx, half_x * jnp.sign(px), px)
+        vx = jnp.where(outx, vx * -damping, vx)
+    py = jnp.where(outy, half_y * jnp.sign(py), py)
+    vy = jnp.where(outy, vy * -damping, vy)
+
+    live = pos_x0 < SENTINEL_HALF
+    npx_ref[i, tlo] = jnp.where(live, px, SENTINEL)
+    npy_ref[i, tlo] = jnp.where(live, py, SENTINEL)
+    nvx_ref[i, tlo] = jnp.where(live, vx, 0.0)
+    nvy_ref[i, tlo] = jnp.where(live, vy, 0.0)
+
+
+def _forces_cand_block(rows, rolled, o, to, sub, consts, flags,
+                       sc_ref, w, tpx_ref, tpy_ref, d0x_ref, d0y_ref,
+                       sfx_ref, sfy_ref, sgx_ref, sgy_ref, scc_ref,
+                       cgx_ref, cgy_ref, clap_ref, stx_ref, sty_ref,
+                       st_grad_norm, st_lap_norm,
+                       _c_neg_inv_2h3, _c_inv_h2, _c_half_h):
+    """Candidate sub-block [o:o+sub]'s 9-block contribution to one target
+    sub-block [to:to+sub] (both traced tile-aligned offsets), all
+    candidate slots unguarded, accumulated in registers, one scratch RMW
+    per field (see _forces_one_row)."""
+    (h, h2, sqr_radius, spiky_norm, visc_norm, k, gx, rblk,
+     rows_tot) = consts
+    (wrap_x, has_ff, surface_tension, adaptive) = flags
+    tslice = pl.ds(to, sub)
+    px0 = tpx_ref[tslice]
+    py0 = tpy_ref[tslice]
+    vx0 = rows[1][2][0, tslice]
+    vy0 = rows[1][3][0, tslice]
+    p_self = rows[1][4][0, tslice]
+    k_self = (jax.lax.broadcasted_iota(jnp.int32, (sub, gx), 0) + to)
+    if adaptive:
+        rho_self = 1.0 / rows[1][5][0, tslice]
+    fx = jnp.zeros((sub, gx), jnp.float32)
+    fy = jnp.zeros((sub, gx), jnp.float32)
+    gx_ = jnp.zeros((sub, gx), jnp.float32)
+    gy_ = jnp.zeros((sub, gx), jnp.float32)
+    scc_run = scc_ref[tslice]
+    if surface_tension:
+        cg_x = jnp.zeros((sub, gx), jnp.float32)
+        cg_y = jnp.zeros((sub, gx), jnp.float32)
+        cl_ = jnp.zeros((sub, gx), jnp.float32)
+        st_dx = stx_ref[tslice]
+        st_dy = sty_ref[tslice]
+    for kp in range(sub):
+        kpg = o + kp  # global candidate slot (traced)
+        (fx, fy, gx_, gy_, scc_run, st_acc) = _forces_one_cand(
+            kp, kpg, rolled, consts, flags, sc_ref, w,
+            px0, py0, vx0, vy0, p_self, k_self,
+            rho_self if adaptive else None,
+            d0x_ref, d0y_ref, tslice, scc_run,
+            (cg_x, cg_y, cl_, st_dx, st_dy) if surface_tension else None,
+            fx, fy, gx_, gy_, st_grad_norm, st_lap_norm,
+            _c_neg_inv_2h3, _c_inv_h2, _c_half_h)
         if surface_tension:
-            # pairs.surface_tension composition (compute.wgsl:303-315)
-            cgx = cgx_ref[...]
-            cgy = cgy_ref[...]
-            clap = clap_ref[...]
-            n_len = jnp.sqrt(cgx * cgx + cgy * cgy)
-            safe_len = jnp.where(n_len == 0.0, 1.0, n_len)
-            k_st = (-clap) / (n_len + 1e-6)
-            apply_st = n_len > sc_ref[w, 15]
-            coef = sc_ref[w, 16]
-            accel_x = accel_x + jnp.where(
-                apply_st, -coef * k_st * (cgx / safe_len), 0.0)
-            accel_y = accel_y + jnp.where(
-                apply_st, -coef * k_st * (cgy / safe_len), 0.0)
-        vx = vx0 + accel_x * invr0 * dt + grav_x * dt
-        vy = vy0 + accel_y * invr0 * dt + grav_y * dt
+            cg_x, cg_y, cl_ = st_acc
+    sfx_ref[tslice] = sfx_ref[tslice] + fx
+    sfy_ref[tslice] = sfy_ref[tslice] + fy
+    sgx_ref[tslice] = sgx_ref[tslice] + gx_
+    sgy_ref[tslice] = sgy_ref[tslice] + gy_
+    scc_ref[tslice] = scc_run
+    if surface_tension:
+        cgx_ref[tslice] = cgx_ref[tslice] + cg_x
+        cgy_ref[tslice] = cgy_ref[tslice] + cg_y
+        clap_ref[tslice] = clap_ref[tslice] + cl_
 
-        # mouse impulse (compute.wgsl:99-108)
-        diffx = mouse_x - px0
-        diffy = mouse_y - py0
-        dist = jnp.sqrt(diffx * diffx + diffy * diffy)
-        msafe = jnp.where(dist == 0.0, 1.0, dist)
-        iscale = (mouse_power * mouse_state * (dist / mouse_radius)
-                  / (msafe * msafe))
-        # dist==0 under an active press is 0/0=NaN in the reference; the
-        # NaN reset below then zeroes the velocity. Reproduce explicitly.
-        iscale = jnp.where(dist == 0.0, jnp.float32(jnp.nan), iscale)
-        apply_m = (mouse_state != 0.0) & (dist <= mouse_radius)
-        vx = jnp.where(apply_m, vx + diffx * iscale, vx)
-        vy = jnp.where(apply_m, vy + diffy * iscale, vy)
 
-        # NaN reset (compute.wgsl:113-116)
-        nan_any = (vx != vx) | (vy != vy)
-        vx = jnp.where(nan_any, 0.0, vx)
-        vy = jnp.where(nan_any, 0.0, vy)
+def _forces_one_cand(kp, kpg, rolled, consts, flags, sc_ref, w,
+                     px0, py0, vx0, vy0, p_self, k_self, rho_self,
+                     d0x_ref, d0y_ref, tslice, scc_run, st_state,
+                     fx, fy, gx_, gy_, st_grad_norm, st_lap_norm,
+                     _c_neg_inv_2h3, _c_inv_h2, _c_half_h):
+    """One candidate slot's 9 (row, dx) blocks against the target
+    sub-block, pure register dataflow (see _forces_cand_block)."""
+    (h, h2, sqr_radius, spiky_norm, visc_norm, k, gx, rblk,
+     rows_tot) = consts
+    (wrap_x, has_ff, surface_tension, adaptive) = flags
+    if surface_tension:
+        cg_x, cg_y, cl_, st_dx, st_dy = st_state
+    for r in range(3):
+        for dx in (-1, 0, 1):
+            rl = rolled[(r, dx)]
+            nx = rl[0][kp:kp + 1, :]
+            ny = rl[1][kp:kp + 1, :]
+            nvx = rl[2][kp:kp + 1, :]
+            nvy = rl[3][kp:kp + 1, :]
+            p_nb = rl[4][kp:kp + 1, :]
+            inv_rho = rl[5][kp:kp + 1, :]
+            is_center = (r == 1 and dx == 0)
 
-        # speed clamp (compute.wgsl:118-122)
-        sp = jnp.sqrt(vx * vx + vy * vy)
-        fast = sp > MAX_SPEED
-        scl = MAX_SPEED / jnp.where(fast, sp, 1.0)
-        vx = jnp.where(fast, vx * scl, vx)
-        vy = jnp.where(fast, vy * scl, vy)
+            ddx = nx - px0
+            ddy = ny - py0
+            r2 = ddx * ddx + ddy * ddy
+            # one rsqrt replaces sqrt + divide (multi-pass VPU
+            # ops); dst = r2 * rsqrt(r2) == sqrt(r2) to 1 ulp.
+            # max() (not a where) floors r2: at r2 == 0, inv
+            # is ~3e17 but dst = 0 * inv = 0 and dir = 0 — the
+            # coincident path overwrites dir and kv anyway.
+            inv_dst = jax.lax.rsqrt(jnp.maximum(r2, 1e-35))
+            dst = r2 * inv_dst
+            in_range = r2 <= sqr_radius
+            if is_center:
+                in_range = in_range & (k_self != kpg)
 
-        px = pos_x0 + vx * dt
-        py = pos_y0 + vy * dt
+            dirx = ddx * inv_dst
+            diry = ddy * inv_dst
 
-        if has_ff:
-            # obstacle force field at CELL granularity (the reference
-            # samples per-particle texels, compute.wgsl:127-140; here one
-            # push-out vector per grid cell — documented approximation,
-            # see ops.resident). Field values are PIXEL-space vectors; the
-            # normal is normalized in pixel space like the reference, the
-            # position push is scaled to world units per axis.
-            ffx = ffx_ref[i]  # [1, Gx] pixel-space push-out
-            ffy = ffy_ref[i]
-            hit = (ffx != 0.0) | (ffy != 0.0)
-            fn = jnp.sqrt(ffx * ffx + ffy * ffy)
-            fsafe = jnp.where(fn == 0.0, 1.0, fn)
-            nhx = ffx / fsafe
-            nhy = ffy / fsafe
-            px = jnp.where(hit, px + ffx * ff_sx, px)
-            py = jnp.where(hit, py + ffy * ff_sy, py)
-            vn = vx * nhx + vy * nhy
-            vx = jnp.where(hit, vx - (1.0 - damping) * vn * nhx, vx)
-            vy = jnp.where(hit, vy - (1.0 - damping) * vn * nhy, vy)
+            if is_center:
+                # coincident-pair random direction
+                # (compute.wgsl:211-215) — same-cell only:
+                # dst==0 implies bitwise-equal positions,
+                # hence the same cell. scc_run carries the
+                # running draw count across candidates in
+                # registers (RMW'd to scratch once per
+                # sub-block pair by the caller).
+                coincident = in_range & (dst == 0.0)
+                has_prior = scc_run >= jnp.uint32(1)
+                salted = kpg < k_self
+                d0x = d0x_ref[tslice]
+                d0y = d0y_ref[tslice]
+                # variants: (0,0)=(d0x,d0y) (0,1)=(-d0y,d0x)
+                #           (1,0)=(-d0x,-d0y) (1,1)=(d0y,-d0x)
+                tx = jnp.where(
+                    salted,
+                    jnp.where(has_prior, d0y, -d0x),
+                    jnp.where(has_prior, -d0y, d0x))
+                ty = jnp.where(
+                    salted,
+                    jnp.where(has_prior, -d0x, -d0y),
+                    jnp.where(has_prior, d0x, d0y))
+                dirx = jnp.where(coincident, tx, dirx)
+                diry = jnp.where(coincident, ty, diry)
+                scc_run = scc_run + coincident.astype(jnp.uint32)
 
-        # boundary clamp + bounce / x-wrap (compute.wgsl:143-153,
-        # shaders/compute.wgsl:145-146)
-        outx = jnp.abs(px) > half_x
-        outy = jnp.abs(py) > half_y
-        if wrap_x:
-            px = jnp.where(outx, -half_x * jnp.sign(px), px)
-        else:
-            px = jnp.where(outx, half_x * jnp.sign(px), px)
-            vx = jnp.where(outx, vx * -damping, vx)
-        py = jnp.where(outy, half_y * jnp.sign(py), py)
-        vy = jnp.where(outy, vy * -damping, vy)
+            # shared pressure's 0.5 is folded into the spiky
+            # constant; the dst <= h gate is folded into
+            # in_range (r2 <= h^2) — they differ only in the
+            # 1-ulp rounding sliver of dst = sqrt-ish(r2)
+            shared_p = p_self + p_nb
+            kern_p = (dst - h) * (0.5 * spiky_norm)
+            in_range_p = in_range
+            if adaptive:
+                # kpg is traced (dynamic sub-block offset + static
+                # lane): the stride tests are scalar-core ops
+                c5 = ((kpg % 5) == 0).astype(jnp.float32)
+                c13 = ((kpg % 13) == 0).astype(jnp.float32)
+                sub_f = jnp.where(
+                    rho_self >= 200.0, c13,
+                    jnp.where(rho_self >= 150.0, c5, 1.0))
+                in_range_p = in_range & (sub_f > 0.0)
+            wp = jnp.where(
+                in_range_p, kern_p * shared_p * inv_rho, 0.0)
+            fx = fx + dirx * wp
+            fy = fy + diry * wp
 
-        live = pos_x0 < SENTINEL_HALF
-        npx_ref[i] = jnp.where(live, px, SENTINEL)
-        npy_ref[i] = jnp.where(live, py, SENTINEL)
-        nvx_ref[i] = jnp.where(live, vx, 0.0)
-        nvy_ref[i] = jnp.where(live, vy, 0.0)
+            if surface_tension:
+                # self-pair INCLUDED (pairs.color_field_*)
+                ok_st = r2 <= sqr_radius
+                co_st = ok_st & (dst == 0.0)
+                sdx = jnp.where(co_st, st_dx, dirx)
+                sdy = jnp.where(co_st, st_dy, diry)
+                rlen2 = sdx * sdx + sdy * sdy
+                rlen = jnp.sqrt(rlen2)
+                gdiff = h2 - rlen2
+                gsc = jnp.where(
+                    (rlen >= h) | (rlen == 0.0), 0.0,
+                    jnp.float32(st_grad_norm) * gdiff * gdiff)
+                m_rho = sc_ref[w, 14] * inv_rho
+                cg_x = cg_x + jnp.where(
+                    ok_st, m_rho * gsc * sdx, 0.0)
+                cg_y = cg_y + jnp.where(
+                    ok_st, m_rho * gsc * sdy, 0.0)
+                lap = jnp.where(
+                    dst > h, 0.0,
+                    jnp.float32(st_lap_norm) * (h2 - r2)
+                    * (3.0 * h2 - 4.0 * r2))
+                cl_ = cl_ + jnp.where(ok_st, m_rho * lap, 0.0)
+
+            # viscosity kernel (funcs.wgsl:112-123),
+            # division-free form (ops.pallas.sph); the
+            # dst <= h gate is folded into in_range like kern_p
+            kv = (r2 * dst * _c_neg_inv_2h3 + r2 * _c_inv_h2
+                  + inv_dst * _c_half_h - 1.0)
+            if is_center:
+                kv = jnp.where(dst == 0.0, 1.0, kv)
+            wv = jnp.where(in_range, kv * inv_rho, 0.0)
+            gx_ = gx_ + (nvx - vx0) * wv
+            gy_ = gy_ + (nvy - vy0) * wv
+    return (fx, fy, gx_, gy_, scc_run,
+            (cg_x, cg_y, cl_) if surface_tension else None)
 
 
 def forces_integrate(pos_x, pos_y, vel_x, vel_y, pres, invr, occ_row,
@@ -921,9 +1175,11 @@ def forces_integrate(pos_x, pos_y, vel_x, vel_y, pres, invr, occ_row,
         out_shape=tuple(
             jax.ShapeDtypeStruct((gy, k, gx), f32) for _ in range(4)),
         scratch_shapes=(
-            [pltpu.VMEM((k, gx), f32)] * 4
-            + [pltpu.VMEM((k, gx), jnp.uint32)]
-            + ([pltpu.VMEM((k, gx), f32)] * 3 if surface_tension else [])
+            [pltpu.VMEM((k, gx), f32)] * 4      # sfx, sfy, sgx, sgy
+            + [pltpu.VMEM((k, gx), jnp.uint32)]  # scc
+            + [pltpu.VMEM((k, gx), f32)] * 4    # tpx, tpy, d0x, d0y
+            + ([pltpu.VMEM((k, gx), f32)] * 5   # cgx, cgy, clap, stx, sty
+               if surface_tension else [])
         ),
         interpret=_interpret(),
         name="sph_forces_integrate_fused",

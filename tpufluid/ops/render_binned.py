@@ -215,18 +215,13 @@ def render_particles_binned(
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
-def render_metaball_binned(
-    state: ParticleState, settings: SimSettings,
-    width: int = 960, height: int = 540, camera: Camera = Camera(),
-    background: Tuple[float, float, float] = (0.0, 0.0, 0.0),
-    density_clamp_blue: bool = False,
-    bin_px: int | None = None, capacity: int | None = None,
-):
-    """Fluid-surface framebuffer f32[H, W, 4] — same shading as
-    ops.render.render_metaball, binned candidate search."""
-    density, vel_factor = metaball_fields(
-        state, settings, width, height, camera, bin_px, capacity)
-
+def shade_metaball(density, vel_factor,
+                   background: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+                   density_clamp_blue: bool = False):
+    """fluid_shader.wgsl:28-103 colormap: per-pixel (density, velocity
+    factor) fields -> rgba f32[H, W, 4] (blue body, white edge highlight,
+    red tint by speed; optional density>50 solid-blue clamp from
+    shaders/fluid_shader.wgsl:101-103)."""
     vel_factor = vel_factor * 0.01
     log_factor = jnp.float32(5.0)
     vel_factor = jnp.log1p(log_factor * vel_factor) / jnp.log(1.0 + log_factor)
@@ -248,3 +243,18 @@ def render_metaball_binned(
         blue = jnp.asarray([0.0, 0.0, 1.0], jnp.float32)
         rgb = jnp.where((density > 50.0)[..., None], blue, rgb)
     return jnp.concatenate([rgb, jnp.ones_like(alpha[..., None])], axis=-1)
+
+
+def render_metaball_binned(
+    state: ParticleState, settings: SimSettings,
+    width: int = 960, height: int = 540, camera: Camera = Camera(),
+    background: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    density_clamp_blue: bool = False,
+    bin_px: int | None = None, capacity: int | None = None,
+):
+    """Fluid-surface framebuffer f32[H, W, 4] — same shading as
+    ops.render.render_metaball, binned candidate search."""
+    density, vel_factor = metaball_fields(
+        state, settings, width, height, camera, bin_px, capacity)
+    return shade_metaball(density, vel_factor, background,
+                          density_clamp_blue)

@@ -78,6 +78,27 @@ def _gxp(settings: SimSettings) -> int:
 ROWS_PER_PROGRAM = 4
 
 
+def pad_capacity(settings: SimSettings) -> SimSettings:
+    """Round cell_capacity > 8 up to a multiple of 8 (the dynamic
+    sub-block loops in ops.pallas.fused slice the slot axis in 8-slot
+    tiles). Extra capacity never loses mass; the user contract is a
+    minimum."""
+    k = settings.cell_capacity
+    if k <= 8 or k % 8 == 0:
+        return settings
+    return dataclasses.replace(settings, cell_capacity=-(-k // 8) * 8)
+
+
+def rows_per_program(settings: SimSettings) -> int:
+    """Fewer center rows per program at large cell_capacity so the
+    (rblk+2)-row input blocks + outputs + scratch stay inside the ~16 MB
+    VMEM budget (row padding stays at 4, a multiple of every choice)."""
+    k = settings.cell_capacity
+    if k <= 32:
+        return ROWS_PER_PROGRAM
+    return 2 if k <= 64 else 1
+
+
 def _rows(settings: SimSettings) -> int:
     """Grid rows padded to a ROWS_PER_PROGRAM multiple (pad rows are
     permanently empty — cell rows never exceed grid_h - 2)."""
@@ -97,6 +118,7 @@ def occ_row_of(pos_x: jax.Array) -> jax.Array:
 
 def from_particles(state: ParticleState, settings: SimSettings) -> GridState:
     """Bin a ParticleState into the resident grid (boundary conversion)."""
+    settings = pad_capacity(settings)
     cells = gridops.cell_id(state.predicted, settings)
     binning = gridops.bin_particles(cells, settings)
     src = jnp.concatenate([state.position, state.velocity], axis=1)
@@ -196,21 +218,18 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
     """
     if x_boundary not in ("bounce", "wrap"):
         raise ValueError(f"unknown x_boundary {x_boundary!r}")
+    settings = pad_capacity(settings)
     gxp = _gxp(settings)
     k = settings.cell_capacity
     gy = settings.grid_h
     gy_p = _rows(settings)  # state rows per world (ROWS_PER_PROGRAM pad)
     grid_w = settings.grid_w
     gy_total = gy_p * n_worlds
-    rblk = ROWS_PER_PROGRAM
+    rblk = rows_per_program(settings)
     h_inv = 1.0 / settings.smoothing_radius
     if far_capacity is None:
         # impact phases can fling thousands of >1-cell movers in one step
         far_capacity = max(4096, (gy_total * k * gxp) // 128)
-    if n_worlds > 1 and has_force_field:
-        raise NotImplementedError(
-            "obstacle force fields are not supported in batched "
-            "(n_worlds > 1) resident mode yet")
     # batched world stacks: each world's grid rows already end in the
     # empty sentinel ring, so worlds stack directly along the row axis
     # with zero cross-talk; only the cell-row comparison frame (row_shift)
@@ -221,11 +240,15 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
     else:
         wid = None
         row_shift = None
-    # capacity-sliced dispatch: slots beyond the running max occupancy
-    # are all sentinel, so kernels run on a [*, kv, Gxp] slice with kv =
-    # the occupancy rounded up to a slot tile — high-capacity scenes
-    # (gravity dam-breaks need K~32+) stop paying K-height tiles while
-    # the fluid is uncompressed. One lax.switch branch per slot tile.
+    # Capacity-sliced REBIN dispatch: slots beyond the running max
+    # occupancy are all sentinel, so the rebin source scan runs on a
+    # [*, kv, Gxp] slice with kv = the occupancy rounded up to a slot
+    # tile, and packs at most kv+8 output slots (one tile of headroom;
+    # occupancy growing faster triggers a full-capacity redo below —
+    # costs nothing when clean). The PHYSICS kernels need no slicing:
+    # sub-row slot folding (ops.pallas.fused._sub_blocks) bounds their
+    # work per row at 8-slot granularity internally, which also keeps
+    # the compiled-variant count flat in K.
     kvs = ([k] if (k <= 8 or k % 8 != 0)
            else list(range(8, k + 1, 8)))
 
@@ -243,7 +266,8 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
                 "(pass a scalar); gravity/viscosity/etc. may be [B]")
 
         # 1. re-bin by next predicted cell (Pallas; local moves); the
-        # source-slot scan is capacity-sliced, the output is full-K
+        # source-slot scan is capacity-sliced, the output shape is full
+        # K with packing capped at kv+8 (redo below covers faster growth)
         if len(kvs) == 1:
             px, py, vx, vy, occ_row, far_n, over_n = fused.rebin(
                 gs.pos_x, gs.pos_y, gs.vel_x, gs.vel_y, gs.occ_row, dt,
@@ -256,13 +280,27 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
                         gpx[:, :kv], gpy[:, :kv], gvx[:, :kv],
                         gvy[:, :kv], gocc, dt, settings,
                         row_shift=row_shift, rows_per_program=rblk,
-                        out_capacity=k)
+                        out_capacity=k,
+                        active_capacity=min(kv + 8, k))
                 return f
 
-            px, py, vx, vy, occ_row, far_n, over_n = lax.switch(
+            outs = lax.switch(
                 _kv_index(gs.occ_row),
                 [rebin_branch(kv) for kv in kvs],
                 (gs.pos_x, gs.pos_y, gs.vel_x, gs.vel_y, gs.occ_row))
+
+            # occupancy jumped past the kv+8 headroom in one step (rare:
+            # violent compression): redo at full capacity so arrivals the
+            # optimistic pass would have shed are kept. over_n > 0 out of
+            # the redo is TRUE capacity loss (counted in GridState.lost).
+            def redo_full(_):
+                return fused.rebin(
+                    gs.pos_x, gs.pos_y, gs.vel_x, gs.vel_y, gs.occ_row,
+                    dt, settings, row_shift=row_shift,
+                    rows_per_program=rblk)
+
+            px, py, vx, vy, occ_row, far_n, over_n = lax.cond(
+                jnp.sum(outs[6]) > 0, redo_full, lambda _: outs, None)
         n_far = jnp.sum(far_n)
         n_over = jnp.sum(over_n)
 
@@ -343,47 +381,34 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
             if forcefield is None:
                 raise ValueError("step built with has_force_field=True "
                                  "needs a forcefield argument")
-            ff_cells = forcefield_cells(forcefield, settings, gxp,
-                                        n_rows=gy_p)
+            if n_worlds > 1:
+                # per-world [W, H, Wtex, 2] (or one shared [H, Wtex, 2])
+                # field; each world's cell samples stack along the row
+                # axis like the state rows do
+                ff = forcefield
+                if ff.ndim == 3:
+                    ff = jnp.broadcast_to(ff, (n_worlds,) + ff.shape)
+                parts = [forcefield_cells(ff[w], settings, gxp,
+                                          n_rows=gy_p)
+                         for w in range(n_worlds)]
+                ff_cells = (jnp.concatenate([p[0] for p in parts]),
+                            jnp.concatenate([p[1] for p in parts]))
+            else:
+                ff_cells = forcefield_cells(forcefield, settings, gxp,
+                                            n_rows=gy_p)
 
-        def physics(px, py, vx, vy, kv):
-            pres, invr = fused.density(
-                px, py, vx, vy, occ_row, params.mass, dt,
-                params.pressure_constant, params.rest_density, settings,
-                wid=wid, rows_per_program=rblk)
-            npx, npy, nvx, nvy = fused.forces_integrate(
-                px, py, vx, vy, pres, invr, occ_row, params, settings,
-                frame, ff_cells=ff_cells, x_boundary=x_boundary,
-                surface_tension=surface_tension,
-                adaptive_subsampling=adaptive_subsampling, wid=wid,
-                rows_per_program=rblk)
-            pad = k - kv
-            if pad:
-                shp = (npx.shape[0], pad, npx.shape[2])
-                npx = jnp.concatenate(
-                    [npx, jnp.full(shp, SENTINEL, jnp.float32)], axis=1)
-                npy = jnp.concatenate(
-                    [npy, jnp.full(shp, SENTINEL, jnp.float32)], axis=1)
-                nvx = jnp.concatenate(
-                    [nvx, jnp.zeros(shp, jnp.float32)], axis=1)
-                nvy = jnp.concatenate(
-                    [nvy, jnp.zeros(shp, jnp.float32)], axis=1)
-            return npx, npy, nvx, nvy
-
-        if len(kvs) == 1:
-            npx, npy, nvx, nvy = physics(px, py, vx, vy, k)
-        else:
-            def phys_branch(kv):
-                def f(ops):
-                    bpx, bpy, bvx, bvy = ops
-                    return physics(bpx[:, :kv], bpy[:, :kv],
-                                   bvx[:, :kv], bvy[:, :kv], kv)
-                return f
-
-            npx, npy, nvx, nvy = lax.switch(
-                _kv_index(occ_row),
-                [phys_branch(kv) for kv in kvs],
-                (px, py, vx, vy))
+        # full-K calls: sub-row folding inside the kernels bounds the
+        # work by per-row occupancy at 8-slot granularity
+        pres, invr = fused.density(
+            px, py, vx, vy, occ_row, params.mass, dt,
+            params.pressure_constant, params.rest_density, settings,
+            wid=wid, rows_per_program=rblk)
+        npx, npy, nvx, nvy = fused.forces_integrate(
+            px, py, vx, vy, pres, invr, occ_row, params, settings,
+            frame, ff_cells=ff_cells, x_boundary=x_boundary,
+            surface_tension=surface_tension,
+            adaptive_subsampling=adaptive_subsampling, wid=wid,
+            rows_per_program=rblk)
 
         return GridState(
             pos_x=npx, pos_y=npy, vel_x=nvx, vel_y=nvy,

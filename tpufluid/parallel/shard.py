@@ -496,6 +496,7 @@ class ResidentShardSpec:
 
 def build_resident_spec(settings: SimSettings, n_devices: int,
                         far_capacity: Optional[int] = None) -> ResidentShardSpec:
+    settings = residentops.pad_capacity(settings)
     gy = residentops._rows(settings)  # state rows (ROWS_PER_PROGRAM pad)
     rows = -(-gy // n_devices)
     if rows < 4:
@@ -558,10 +559,17 @@ def gather_resident(gs, spec: ResidentShardSpec):
 
 def make_sharded_resident_step(spec: ResidentShardSpec, mesh=None,
                                x_boundary: str = "bounce",
-                               has_force_field: bool = False):
+                               has_force_field: bool = False,
+                               surface_tension: bool = False,
+                               adaptive_subsampling: bool = False):
     """Jitted multi-chip resident step:
     ``step(gs, params[, forcefield]) -> (gs, stats)``;
     stats["n_valid"]: i32[D] live particles per device.
+
+    Carries the full variant surface of the single-chip resident engine
+    (x-wrap, obstacle force fields, surface tension, adaptive
+    subsampling) — the reference's one engine does everything at once
+    (compute.wgsl + shaders/compute.wgsl), so the sharded path must too.
     """
     settings = spec.settings
     d_count = spec.n_devices
@@ -757,7 +765,9 @@ def make_sharded_resident_step(spec: ResidentShardSpec, mesh=None,
                 n_rows=rloc + 4)
         npx, npy, nvx, nvy = _fused.forces_integrate(
             L[0], L[1], L[2], L[3], pres, invr, occ_l, params, settings,
-            frame, ff_cells=ff_cells, x_boundary=x_boundary)
+            frame, ff_cells=ff_cells, x_boundary=x_boundary,
+            surface_tension=surface_tension,
+            adaptive_subsampling=adaptive_subsampling)
 
         out = residentops.GridState(
             pos_x=npx[2:rloc + 2], pos_y=npy[2:rloc + 2],
