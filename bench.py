@@ -113,6 +113,65 @@ def bench_render(scene, width=1920, height=1080, warmup=2, iters=5):
     return (time.perf_counter() - t0) / iters * 1e3  # ms/frame
 
 
+def bench_render_grid(scene, width=1920, height=1080, warmup=2, iters=5):
+    """The resident-grid Pallas renderer (ops.render_grid): fluid surface
+    straight off the slot grid — no to_particles sort, no re-binning."""
+    import functools
+    import jax
+    from tpufluid.ops import render, render_grid, resident
+
+    run10 = resident.make_grid_multi_step(scene.settings, 10)
+    gs = resident.init_grid_state(scene.settings)
+    gs = run10(gs, scene.params)
+    cam = render.Camera(view_size=(
+        scene.settings.size[0],
+        scene.settings.size[0] * height / width,
+    ))
+    rfn = jax.jit(functools.partial(
+        render_grid.render_metaball_grid, settings=scene.settings,
+        width=width, height=height, camera=cam,
+    ))
+    frame = rfn(gs)
+    _sync(frame)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        frame = rfn(gs)
+    _sync(frame)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms/frame
+
+
+def bench_frame(scene, width=960, height=540, warmup=2, iters=5):
+    """End-to-end ms/frame (step+render) at the reference's render size
+    (renderer.rs:15 RENDER_DIMS 960x540) and offline cadence: 16 sim
+    ticks per rendered frame (main.rs:199-201), one device dispatch."""
+    import functools
+    import jax
+    from tpufluid.ops import render, render_grid, resident
+
+    run16 = resident.make_grid_multi_step(scene.settings, 16)
+    gs = resident.init_grid_state(scene.settings)
+    gs = resident.make_grid_multi_step(scene.settings, 10)(gs, scene.params)
+    cam = render.Camera(view_size=(
+        scene.settings.size[0],
+        scene.settings.size[0] * height / width,
+    ))
+
+    @jax.jit
+    def frame(g):
+        g = run16(g, scene.params)
+        rgba = render_grid.render_metaball_grid(
+            g, scene.settings, width, height, cam)
+        return g, rgba
+
+    gs, rgba = frame(gs)
+    _sync(rgba)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        gs, rgba = frame(gs)
+    _sync(rgba)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms (16 ticks + render)
+
+
 def run_configs(which=None, out=sys.stdout, mode="resident"):
     """The BASELINE.json ladder. which: config number 1-5 or None for all
     feasible on this host."""
@@ -137,6 +196,9 @@ def run_configs(which=None, out=sys.stdout, mode="resident"):
     if wants(3):
         r = bench_step(models.scene_256k(), neighbor_mode=mode)
         r["render_ms_per_frame_1080p"] = bench_render(models.scene_256k())
+        r["render_grid_ms_per_frame_1080p"] = bench_render_grid(
+            models.scene_256k())
+        r["frame_ms_960x540_16ticks"] = bench_frame(models.scene_256k())
         record("config3_256k", r)
     if wants(4):
         r = bench_step(models.scene_1m(), neighbor_mode=mode)
@@ -334,6 +396,17 @@ def main():
 
     if args.all:
         run_configs(None, out=sys.stderr)
+    else:
+        # standing artifact: refresh PARITY.json on every headline bench
+        # run (the driver runs this each round) so compiled-kernel
+        # regressions can't hide between manual --parity runs. Best
+        # effort — the headline line below must print regardless.
+        import contextlib
+        try:
+            with contextlib.redirect_stdout(sys.stderr):
+                run_parity(steps_short=10, steps_long=120, n=16384)
+        except Exception as e:  # pragma: no cover
+            print(f"parity refresh failed: {e!r}", file=sys.stderr)
 
     from tpufluid import models
     r = bench_step(models.scene_1m(), warmup=1, iters=args.iters,

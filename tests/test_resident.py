@@ -1,6 +1,8 @@
 """Grid-resident engine (ops.resident): parity, rebin, far movers,
 conversions. Pallas kernels run interpreted on CPU — keep scenes tiny."""
 
+import dataclasses
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -194,15 +196,68 @@ def test_strict_capacity_refuses_undersized_scenes():
     need = suggest_cell_capacity(s, params)
     assert need > 8
     with pytest.raises(ValueError, match="cell_capacity"):
-        FluidApp(s, params, neighbor_mode="resident")
+        FluidApp(s, params, neighbor_mode="resident",
+                 capacity_policy="strict")
     # escape hatch: counted loss accepted explicitly
     app = FluidApp(s, params, neighbor_mode="resident",
                    strict_capacity=False)
     assert app is not None
+    # the default policy ("grow") auto-sizes instead of refusing —
+    # reference semantics: its unbounded loops never refuse a scene
+    # (compute.wgsl:182-229)
+    app = FluidApp(s, params, neighbor_mode="resident")
+    assert app.settings.cell_capacity >= need
     # zero-gravity default passes at the same capacity
     ok = SimSettings(particle_count=256, particle_spacing=0.1,
                      smoothing_radius=0.2, size=(6.0, 6.0), cell_capacity=8)
     FluidApp(ok, TickParams.default(), neighbor_mode="resident")
+
+
+def test_capacity_grow_replays_lossless():
+    """capacity_policy='grow': a live-tuned gravity spike that
+    out-compresses the auto-sized capacity triggers regrow-and-replay —
+    zero particles shed, and the trajectory is bitwise the
+    always-big-capacity one (the reference's unbounded loops never shed,
+    compute.wgsl:182-229)."""
+    from tpufluid.app import FluidApp
+
+    n = 384
+    s = SimSettings(particle_count=n, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(4.8, 4.8), cell_capacity=8)
+    app = FluidApp(s, TickParams.default(), neighbor_mode="resident")
+    assert app.settings.cell_capacity == 8  # g=0: advisor keeps 8
+    app.LOSS_CHECK_EVERY = 8  # tight audits: keep the test fast
+    # live-tuned spike the advisor never saw: hard gravity + an injected
+    # impact velocity so compression blows past K=8 within a few ticks
+    st0 = dataclasses.replace(
+        init_state(s), velocity=init_state(s).velocity.at[:, 1].add(-20.0))
+    app.state = st0
+    app.params.gravity = jnp.asarray([0.0, -60.0], jnp.float32)
+    n_ticks = 24
+    for _ in range(n_ticks):
+        app.tick()
+    m = app.metrics()
+    assert m["lost_particles"] == 0
+    assert app.settings.cell_capacity > 8  # it DID have to regrow
+    assert int(app.state.position.shape[0]) == n
+    assert np.all(np.isfinite(np.asarray(app.state.position)))
+
+    # bitwise vs an always-big-capacity run (occupancy-driven kernels:
+    # trajectory is capacity-independent while nothing is shed)
+    big = dataclasses.replace(s, cell_capacity=app.settings.cell_capacity)
+    ref = resident.from_particles(st0, big)
+    rstep = resident.make_grid_step(big)
+    params = TickParams.default(gravity=(0.0, -60.0))
+    for _ in range(n_ticks):
+        ref = rstep(ref, params)
+    assert int(ref.lost) == 0
+    pr, liver = resident.to_particles(ref, big)
+    assert int(liver) == n
+    got = np.asarray(app.state.position)
+    want = np.asarray(pr.position)[:n]
+    order = np.lexsort((got[:, 1], got[:, 0]))
+    order_w = np.lexsort((want[:, 1], want[:, 0]))
+    np.testing.assert_array_equal(got[order], want[order_w])
 
 
 def test_batched_worlds_match_single_world_steps():

@@ -239,3 +239,62 @@ def test_resident_sharded_far_movers(eight_devices):
     ps, live = gather_resident(gs, spec)
     assert int(live) == 16
     assert np.all(np.isfinite(np.asarray(ps.position)[:16]))
+
+
+@pytest.mark.parametrize("variant", [
+    "surface_tension", "adaptive", "wrap", "forcefield"])
+def test_resident_sharded_variants_match_single_chip(eight_devices, variant):
+    """The sharded resident step carries the FULL variant surface of the
+    single-chip engine (the reference's one engine does everything at
+    once: compute.wgsl + shaders/compute.wgsl) — same kernels, same
+    packing order => bitwise-equal positions per variant."""
+    from tpufluid.ops import resident
+    from tpufluid.parallel import (
+        build_resident_spec, gather_resident, init_sharded_resident,
+        make_resident_mesh, make_sharded_resident_step)
+
+    s = SimSettings(particle_count=512, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(8.0, 8.0), cell_capacity=8,
+                    texture_size=(80, 80))
+    params = TickParams.default(gravity=(0.0, -9.8))
+    kw = {}
+    ff = None
+    if variant == "surface_tension":
+        kw["surface_tension"] = True
+    elif variant == "adaptive":
+        kw["adaptive_subsampling"] = True
+    elif variant == "wrap":
+        kw["x_boundary"] = "wrap"
+        params = TickParams.default(gravity=(9.8, -2.0))
+    elif variant == "forcefield":
+        kw["has_force_field"] = True
+        # constant per 2x2-texel cell => resident per-cell sampling is
+        # exact (cf. test_resident.py cell-aligned field)
+        f = np.zeros((80, 80, 2), np.float32)
+        f[:, 50:, 0] = -3.0
+        ff = jnp.asarray(f)
+
+    spec = build_resident_spec(s, 8)
+    mesh = make_resident_mesh(spec)
+    step = make_sharded_resident_step(spec, mesh=mesh, **kw)
+    gs = init_sharded_resident(spec, mesh=mesh)
+    ref = resident.init_grid_state(s)
+    rstep = resident.make_grid_step(
+        s, **{k: v for k, v in kw.items()
+              if k != "has_force_field"},
+        has_force_field=ff is not None)
+    for _ in range(4):
+        if ff is not None:
+            gs, stats = step(gs, params, ff)
+            ref = rstep(ref, params, ff)
+        else:
+            gs, stats = step(gs, params)
+            ref = rstep(ref, params)
+    assert int(np.asarray(stats["n_valid"]).sum()) == 512
+    assert int(np.asarray(gs.lost)) == 0
+    ps, live = gather_resident(gs, spec)
+    pr, liver = resident.to_particles(ref, s)
+    assert int(live) == 512 and int(liver) == 512
+    np.testing.assert_array_equal(
+        sorted_points(np.asarray(ps.position)[:512]),
+        sorted_points(np.asarray(pr.position)[:512]))

@@ -46,17 +46,49 @@ class FluidApp:
     def __init__(self, settings: SimSettings = SimSettings(),
                  params: Optional[TickParams] = None,
                  objects: Optional[ff.Objects] = None,
-                 strict_capacity: bool = True,
+                 strict_capacity: Optional[bool] = None,
+                 capacity_policy: Optional[str] = None,
                  **step_kw):
+        """capacity_policy (bounded engines: resident/dense/pallas):
+
+        * ``"grow"`` (default) — never refuse and never lose mass: the
+          cell capacity is auto-sized up front (params.
+          suggest_cell_capacity) and, if a scene still out-compresses it,
+          the resident engine regrows the slot axis and REPLAYS the ticks
+          since the last loss-free audit (the grown-capacity trajectory
+          is bitwise what an always-big-capacity run produces — kernel
+          cost tracks occupancy, not capacity, so headroom is ~free).
+          This matches the reference's unbounded per-cell loops
+          (compute.wgsl:182-229), which never shed mass.
+        * ``"strict"`` — refuse undersized scenes up front, raise on
+          runtime loss (``strict_capacity=True`` legacy alias).
+        * ``"fixed"`` — keep the given capacity; mass loss is counted
+          (GridState.lost) and warned (``strict_capacity=False`` alias).
+        """
         self.settings = settings
         self.params = params or TickParams.default()
         self.objects = objects if objects is not None else ff.Objects.empty()
         self._has_objects = self.objects.kind.shape[0] > 0
         self._resident = step_kw.get("neighbor_mode") == "resident"
-        self._strict_capacity = strict_capacity
-        if (strict_capacity
-                and step_kw.get("neighbor_mode") in ("resident", "dense",
-                                                     "pallas")):
+        if capacity_policy is None:
+            capacity_policy = ("strict" if strict_capacity
+                               else "fixed" if strict_capacity is not None
+                               else "grow")
+        if capacity_policy not in ("grow", "strict", "fixed"):
+            raise ValueError(f"unknown capacity_policy {capacity_policy!r}")
+        self._capacity_policy = capacity_policy
+        self._strict_capacity = capacity_policy == "strict"
+        bounded = step_kw.get("neighbor_mode") in ("resident", "dense",
+                                                   "pallas")
+        if bounded and capacity_policy == "grow":
+            # auto-size up front; the runtime regrow below is the backstop
+            from .params import suggest_cell_capacity
+            import dataclasses
+            rec = suggest_cell_capacity(self.settings, self.params)
+            if settings.cell_capacity < rec:
+                settings = dataclasses.replace(settings, cell_capacity=rec)
+                self.settings = settings
+        elif bounded and capacity_policy == "strict":
             # fail fast instead of silently shedding mass (the reference's
             # unbounded loops never lose particles, compute.wgsl:182-229).
             # Refusal uses the raw estimate; the message shows the padded
@@ -70,9 +102,9 @@ class FluidApp:
                     f"cell_capacity={settings.cell_capacity} is undersized "
                     f"for this scene: gravity/EOS compression needs ~{rec} "
                     f"(suggest_cell_capacity). Raise cell_capacity, use "
-                    f"neighbor_mode='grid', or pass strict_capacity=False "
-                    f"to accept counted mass loss (GridState.lost / "
-                    f"health_check).")
+                    f"neighbor_mode='grid', or pass capacity_policy='grow' "
+                    f"(auto-size + regrow) / 'fixed' (accept counted mass "
+                    f"loss, GridState.lost / health_check).")
         if self._resident:
             from .ops import resident as residentops
             self._residentops = residentops
@@ -204,45 +236,120 @@ class FluidApp:
         if self._resident:
             self._grid_state = self._residentops.from_particles(
                 value, self.settings)
+            if getattr(self, "_capacity_policy", None) == "grow":
+                # binning drops (a loaded/dense state can overfill cells
+                # the spawn advisor never saw) regrow IMMEDIATELY — the
+                # source particles are still in hand here, so nothing is
+                # lost. One device sync per restart/load.
+                import dataclasses
+                while int(self._grid_state.lost) > 0:
+                    k = self.settings.cell_capacity
+                    new_k = -(-(k + max(8, k // 4)) // 8) * 8
+                    if new_k > self.MAX_CELL_CAPACITY:
+                        break  # leave the counted loss; audit will report
+                    self.settings = dataclasses.replace(
+                        self.settings, cell_capacity=new_k)
+                    self._rebuild_step(has_force_field=self._has_objects)
+                    self._grid_state = self._residentops.from_particles(
+                        value, self.settings)
+            # regrow-and-replay bookkeeping (capacity_policy="grow")
+            self._snapshot = self._grid_state
+            self._lost_baseline = None  # resolved lazily at first audit
+            self._ticks_since_snapshot = 0
+            self._ticks_since_audit = 0
 
     # ticks between runtime mass-loss audits (device->host sync each time)
     LOSS_CHECK_EVERY = 256
     LOSS_FRACTION = 1e-3
 
+    # capacity regrow ceiling (slots/cell); beyond this a scene is
+    # pathological for ANY per-cell layout — grid mode is the answer
+    MAX_CELL_CAPACITY = 512
+
+    def _raw_resident_step(self) -> None:
+        if self._has_objects:
+            self._grid_state = self._step(
+                self._grid_state, self.params, self._forcefield)
+        else:
+            self._grid_state = self._step(self._grid_state, self.params)
+
     def tick(self) -> None:
         if self._resident:
-            if self._has_objects:
-                self._grid_state = self._step(
-                    self._grid_state, self.params, self._forcefield)
-            else:
-                self._grid_state = self._step(self._grid_state, self.params)
+            self._raw_resident_step()
             self._state_dirty = True
             self.timer.lap(self._grid_state)
-            # host-side counter: int(tick) every step would sync the device
+            # host-side counters: int(tick) every step would sync the device
+            self._ticks_since_snapshot = getattr(
+                self, "_ticks_since_snapshot", 0) + 1
             self._ticks_since_audit = getattr(
                 self, "_ticks_since_audit", 0) + 1
             if self._ticks_since_audit >= self.LOSS_CHECK_EVERY:
                 self._ticks_since_audit = 0
-                # the static advisor models equilibrium + impact; this is
-                # the runtime backstop for scenes that out-compress it
-                lost = int(self._grid_state.lost)
-                if lost > self.LOSS_FRACTION * self.settings.particle_count:
-                    msg = (
-                        f"resident engine shed {lost} of "
-                        f"{self.settings.particle_count} particles "
-                        f"(cell_capacity {self.settings.cell_capacity} "
-                        f"exceeded by compression): raise cell_capacity "
-                        f"or use neighbor_mode='grid'")
-                    if self._strict_capacity:
-                        raise RuntimeError(msg)
-                    import warnings
-                    warnings.warn(msg, RuntimeWarning)
+                self._audit_loss()
             return
         if self._has_objects:
             self.state = self._step(self.state, self.params, self._forcefield)
         else:
             self.state = self._step(self.state, self.params)
         self.timer.lap(self._state)
+
+    def _audit_loss(self) -> None:
+        """Runtime mass-loss audit (one device->host sync): the static
+        advisor models equilibrium + impact; this is the backstop for
+        scenes that out-compress it. Under capacity_policy="grow" a lossy
+        burst is REPLAYED from the last loss-free snapshot at a wider
+        capacity — the result is bitwise the always-big-capacity
+        trajectory, so no mass is ever lost (reference semantics,
+        compute.wgsl:182-229)."""
+        lost = int(self._grid_state.lost)
+        lost0 = getattr(self, "_lost_baseline", None)
+        if lost0 is None:  # first audit: the snapshot's own count
+            lost0 = int(self._snapshot.lost)
+        if lost > lost0 and self._capacity_policy == "grow":
+            self._regrow_and_replay(lost0)
+            return
+        if lost > lost0:  # strict / fixed policies: report
+            if lost > self.LOSS_FRACTION * self.settings.particle_count:
+                msg = (
+                    f"resident engine shed {lost} of "
+                    f"{self.settings.particle_count} particles "
+                    f"(cell_capacity {self.settings.cell_capacity} "
+                    f"exceeded by compression): raise cell_capacity, "
+                    f"use capacity_policy='grow', or neighbor_mode='grid'")
+                if self._strict_capacity:
+                    raise RuntimeError(msg)
+                import warnings
+                warnings.warn(msg, RuntimeWarning)
+        self._snapshot = self._grid_state
+        self._lost_baseline = lost
+        self._ticks_since_snapshot = 0
+
+    def _regrow_and_replay(self, lost0: int) -> None:
+        import dataclasses
+        replay = self._ticks_since_snapshot
+        while True:
+            k = self.settings.cell_capacity
+            new_k = -(-(k + max(8, k // 4)) // 8) * 8
+            if new_k > self.MAX_CELL_CAPACITY:
+                raise RuntimeError(
+                    f"capacity regrow exceeded {self.MAX_CELL_CAPACITY} "
+                    f"slots/cell; use neighbor_mode='grid' for this scene")
+            self.settings = dataclasses.replace(
+                self.settings, cell_capacity=new_k)
+            self._rebuild_step(has_force_field=self._has_objects)
+            self._grid_state = self._residentops.grow_capacity(
+                self._snapshot, new_k)
+            # replay with CURRENT params: live tuning mid-burst replays
+            # with the latest values (documented; audits are 256 ticks)
+            for _ in range(replay):
+                self._raw_resident_step()
+            self._state_dirty = True
+            lost = int(self._grid_state.lost)
+            if lost <= lost0:
+                self._snapshot = self._grid_state
+                self._lost_baseline = lost
+                self._ticks_since_snapshot = 0
+                return
 
     def advance(self, wall_dt: float) -> int:
         """Fixed-timestep accumulator: run as many ticks as wall time owes,
@@ -276,11 +383,19 @@ class FluidApp:
     def render_frame(self, width=960, height=540,
                      camera: Optional[renderops.Camera] = None,
                      mode: str = "metaball"):
+        """``metaball``: fluid surface. In resident mode it shades straight
+        off the slot grid (ops.render_grid Pallas path — no to_particles
+        sort, no re-binning); pass ``metaball_exact`` for the per-pixel
+        binned renderer. ``particles``: point sprites."""
         cam = camera or renderops.Camera(
             view_size=(self.settings.size[0], self.settings.size[0] * height / width)
         )
         from .ops import render_binned
-        if mode == "metaball":
+        if mode == "metaball" and self._resident:
+            from .ops import render_grid
+            return render_grid.render_metaball_grid(
+                self._grid_state, self.settings, width, height, cam)
+        if mode in ("metaball", "metaball_exact"):
             return render_binned.render_metaball_binned(
                 self.state, self.settings, width, height, cam)
         if mode == "particles":

@@ -19,9 +19,14 @@ def _add_common(p):
                    help="smoothing radius h")
     p.add_argument("--size", type=float, nargs=2, default=(53.0, 53.0))
     p.add_argument("--cell-capacity", type=int, default=16)
+    p.add_argument("--capacity-policy",
+                   choices=("grow", "strict", "fixed"), default="grow",
+                   help="bounded-engine capacity handling: grow = "
+                        "auto-size + regrow-and-replay, never loses mass "
+                        "(default); strict = refuse undersized scenes; "
+                        "fixed = keep the given capacity, count losses")
     p.add_argument("--no-strict-capacity", action="store_true",
-                   help="accept counted mass loss instead of refusing "
-                        "undersized cell capacities (suggest_cell_capacity)")
+                   help="deprecated alias for --capacity-policy fixed")
     p.add_argument("--texture-size", type=int, nargs=2, default=(1024, 1024),
                    help="obstacle force-field resolution (W H)")
     p.add_argument("--dt", type=float, default=1.0 / 120.0)
@@ -76,8 +81,9 @@ def _build_app(args):
     objs += [("rect", (x, y), (w, h), rot) for x, y, w, h, rot in args.rect]
     objects = ff.Objects.from_list(objs) if objs else None
     mode = args.neighbor_mode
+    policy = "fixed" if args.no_strict_capacity else args.capacity_policy
     app = FluidApp(settings, params, objects,
-                   strict_capacity=not args.no_strict_capacity,
+                   capacity_policy=policy,
                    surface_tension=args.surface_tension,
                    adaptive_subsampling=args.adaptive_subsampling,
                    neighbor_mode=mode, x_boundary=args.x_boundary)

@@ -105,6 +105,30 @@ def _sub_h(k):
     return min(8, k)
 
 
+def _sub_off(b, sub):
+    """Sub-block slot offset: static Python int in the K == sub
+    specialization (see _sub_loop), tile-aligned traced value otherwise
+    (``pl.multiple_of`` lets Mosaic assume sublane alignment)."""
+    if isinstance(b, int):
+        return b * sub
+    return pl.multiple_of(b * sub, sub)
+
+
+def _sub_loop(n, body, static_once):
+    """Run ``body(b, 0)`` for b in [0, n) — as a dynamic ``fori_loop``,
+    or ONCE with a static b=0 when ``static_once``.
+
+    The K == sub case (cell_capacity <= 8: the dense-fluid configs) has
+    exactly one sub-block, so every ``pl.ds(off, sub)`` slice is the full
+    slot axis at a STATIC offset; emitting the body once lets Mosaic use
+    plain vector loads/stores instead of dynamic-sublane addressing
+    (measured: the dynamic forms regressed the forces kernel ~40% at 1M)."""
+    if static_once:
+        body(0, 0)
+    else:
+        lax.fori_loop(0, n, body, 0)
+
+
 def occ3_of(occ_row):
     """occ3[y] = max(occ_row[y-1], occ_row[y], occ_row[y+1]) with
     out-of-range rows empty."""
@@ -430,13 +454,14 @@ def _density_kernel(consts, sc_ref, wid_ref, occc_ref, occ3_ref, *refs):
             # instruction streaming, not compute). Within a sub-block the
             # 8 candidates run unguarded in registers (sentinels
             # self-exclude via the range test).
+            static1 = k == sub  # one sub-block: emit bodies statically
             n3 = (occ3 + (sub - 1)) // sub
             nt = (occ_c + (sub - 1)) // sub
 
             # pre-pass: center-row predictions (the targets AND the r=1
             # candidates) + zeroed accumulators, per live sub-block
             def pre_body(b, carry):
-                o = pl.multiple_of(b * sub, sub)
+                o = _sub_off(b, sub)
                 prx, pry = _pred_rows(
                     rows[1][0][0, pl.ds(o, sub)],
                     rows[1][1][0, pl.ds(o, sub)],
@@ -446,16 +471,20 @@ def _density_kernel(consts, sc_ref, wid_ref, occc_ref, occ3_ref, *refs):
                 tpx_ref[pl.ds(o, sub)] = prx
                 tpy_ref[pl.ds(o, sub)] = pry
 
-                @pl.when(b < nt)
-                def _():
+                if static1:  # b == 0 < nt (occ_c > 0 here)
                     acc_ref[pl.ds(o, sub)] = jnp.zeros((sub, gx),
                                                        jnp.float32)
+                else:
+                    @pl.when(b < nt)
+                    def _():
+                        acc_ref[pl.ds(o, sub)] = jnp.zeros((sub, gx),
+                                                           jnp.float32)
                 return carry
 
-            lax.fori_loop(0, n3, pre_body, 0)
+            _sub_loop(n3, pre_body, static1)
 
             def cand_body(b, carry):
-                o = pl.multiple_of(b * sub, sub)
+                o = _sub_off(b, sub)
                 preds = []
                 for r in range(3):
                     if r == 1:
@@ -476,7 +505,7 @@ def _density_kernel(consts, sc_ref, wid_ref, occc_ref, occ3_ref, *refs):
                                            _roll_x(preds[r][1], dx))
 
                 def tgt_body(t, c2):
-                    to = pl.multiple_of(t * sub, sub)
+                    to = _sub_off(t, sub)
                     px0 = tpx_ref[pl.ds(to, sub)]
                     py0 = tpy_ref[pl.ds(to, sub)]
                     acc = jnp.zeros((sub, gx), jnp.float32)
@@ -498,16 +527,16 @@ def _density_kernel(consts, sc_ref, wid_ref, occc_ref, occ3_ref, *refs):
                         acc_ref[pl.ds(to, sub)] + acc)
                     return c2
 
-                lax.fori_loop(0, nt, tgt_body, 0)
+                _sub_loop(nt, tgt_body, static1)
                 return carry
 
-            lax.fori_loop(0, n3, cand_body, 0)
+            _sub_loop(n3, cand_body, static1)
 
             # rho = m * norm * sum(w) — the reference sums m*W per pair
             # (funcs.wgsl:195); with default mass 1.0 bitwise equal,
             # otherwise within 1 ulp/pair (resident parity is tolerance).
             def post_body(t, carry):
-                to = pl.multiple_of(t * sub, sub)
+                to = _sub_off(t, sub)
                 rho = mass * (jnp.float32(norm) * acc_ref[pl.ds(to, sub)])
                 rho = jnp.maximum(
                     jnp.maximum(rho, 1.19209290e-07), 0.1)
@@ -515,7 +544,7 @@ def _density_kernel(consts, sc_ref, wid_ref, occc_ref, occ3_ref, *refs):
                 invr_ref[i, pl.ds(to, sub)] = 1.0 / rho
                 return carry
 
-            lax.fori_loop(0, nt, post_body, 0)
+            _sub_loop(nt, post_body, static1)
 
 
 def density(pos_x, pos_y, vel_x, vel_y, occ_row, mass, dt, pressure_constant,
@@ -666,6 +695,7 @@ def _forces_one_row(i, y, rows, consts, flags, sc_ref, frame, wid_ref,
         # ceil(occ3/8) sub-blocks, target work ceil(occ_c/8), flat code
         # size in K (static unrolls measured instruction-streaming-bound
         # at K=32).
+        static1 = k == sub  # one sub-block: emit bodies statically
         n3 = (occ3 + (sub - 1)) // sub
         nt = (occ_c + (sub - 1)) // sub
 
@@ -678,7 +708,7 @@ def _forces_one_row(i, y, rows, consts, flags, sc_ref, frame, wid_ref,
         # breaks exact coincidences; it needs determinism and distinct
         # directions, not a specific stream).
         def pre_body(b, carry):
-            o = pl.multiple_of(b * sub, sub)
+            o = _sub_off(b, sub)
             prx, pry = _pred_rows(
                 rows[1][0][0, pl.ds(o, sub)],
                 rows[1][1][0, pl.ds(o, sub)],
@@ -688,8 +718,7 @@ def _forces_one_row(i, y, rows, consts, flags, sc_ref, frame, wid_ref,
             tpx_ref[pl.ds(o, sub)] = prx
             tpy_ref[pl.ds(o, sub)] = pry
 
-            @pl.when(b < nt)
-            def _(prx=prx, pry=pry):
+            def tgt_init(prx=prx, pry=pry):
                 bx = _bitcast_u32(prx)
                 by = _bitcast_u32(pry)
                 seed_self = ((bx * jnp.uint32(0x9E3779B1))
@@ -727,16 +756,21 @@ def _forces_one_row(i, y, rows, consts, flags, sc_ref, frame, wid_ref,
                     cgx_ref[pl.ds(o, sub)] = z
                     cgy_ref[pl.ds(o, sub)] = z
                     clap_ref[pl.ds(o, sub)] = z
+
+            if static1:  # b == 0 < nt (occ_c > 0 here)
+                tgt_init()
+            else:
+                pl.when(b < nt)(tgt_init)
             return carry
 
-        lax.fori_loop(0, n3, pre_body, 0)
+        _sub_loop(n3, pre_body, static1)
 
         # ---- candidate loop: per candidate sub-block, roll the six
         # neighbor fields once ([8, Gx] per (row, dx) block), then per
         # target sub-block accumulate all 8 candidates in registers
         # (one scratch RMW per pair; sentinels self-exclude)
         def cand_body(b, carry):
-            o = pl.multiple_of(b * sub, sub)
+            o = _sub_off(b, sub)
             preds = []
             for r in range(3):
                 if r == 1:
@@ -761,7 +795,7 @@ def _forces_one_row(i, y, rows, consts, flags, sc_ref, frame, wid_ref,
                         _roll_x(f, dx) for f in flds)
 
             def tgt_body(t, c2):
-                to = pl.multiple_of(t * sub, sub)
+                to = _sub_off(t, sub)
                 _forces_cand_block(
                     rows, rolled, o, to, sub,
                     consts, flags, sc_ref, w,
@@ -774,15 +808,15 @@ def _forces_one_row(i, y, rows, consts, flags, sc_ref, frame, wid_ref,
                     _c_neg_inv_2h3, _c_inv_h2, _c_half_h)
                 return c2
 
-            lax.fori_loop(0, nt, tgt_body, 0)
+            _sub_loop(nt, tgt_body, static1)
             return carry
 
-        lax.fori_loop(0, n3, cand_body, 0)
+        _sub_loop(n3, cand_body, static1)
 
         # ---- integration (compute.wgsl:95-155), fused, per live
         # target sub-block ----
         def int_body(t, carry):
-            to = pl.multiple_of(t * sub, sub)
+            to = _sub_off(t, sub)
             _forces_integrate_sub(
                 i, to, sub, rows, consts, flags, sc_ref, w, frame,
                 ffx_ref, ffy_ref, npx_ref, npy_ref, nvx_ref, nvy_ref,
@@ -790,7 +824,7 @@ def _forces_one_row(i, y, rows, consts, flags, sc_ref, frame, wid_ref,
                 tpx_ref, tpy_ref, cgx_ref, cgy_ref, clap_ref)
             return carry
 
-        lax.fori_loop(0, nt, int_body, 0)
+        _sub_loop(nt, int_body, static1)
 
 
 def _forces_integrate_sub(i, to, sub, rows, consts, flags, sc_ref, w,
@@ -1050,10 +1084,15 @@ def _forces_one_cand(kp, kpg, rolled, consts, flags, sc_ref, w,
             kern_p = (dst - h) * (0.5 * spiky_norm)
             in_range_p = in_range
             if adaptive:
-                # kpg is traced (dynamic sub-block offset + static
-                # lane): the stride tests are scalar-core ops
-                c5 = ((kpg % 5) == 0).astype(jnp.float32)
-                c13 = ((kpg % 13) == 0).astype(jnp.float32)
+                # kpg is a static int in the K == sub specialization
+                # (stride gates fold to constants), else traced (dynamic
+                # sub-block offset + static lane; scalar-core ops)
+                if isinstance(kpg, int):
+                    c5 = jnp.float32(1.0 if kpg % 5 == 0 else 0.0)
+                    c13 = jnp.float32(1.0 if kpg % 13 == 0 else 0.0)
+                else:
+                    c5 = ((kpg % 5) == 0).astype(jnp.float32)
+                    c13 = ((kpg % 13) == 0).astype(jnp.float32)
                 sub_f = jnp.where(
                     rho_self >= 200.0, c13,
                     jnp.where(rho_self >= 150.0, c5, 1.0))

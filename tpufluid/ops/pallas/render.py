@@ -51,8 +51,11 @@ def _coarse_kernel(consts, occ_ref, *refs):
     rowrefs = [refs[j * 3:(j + 1) * 3] for j in range(n_rows)]
     p = pl.program_id(0)
 
-    lane = jax.lax.broadcasted_iota(jnp.float32, (8, wc), 1)
-    sub = jax.lax.broadcasted_iota(jnp.float32, (8, wc), 0)
+    # Mosaic iota must be integer; cast after (tpu.iota is int-only)
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (8, wc), 1).astype(jnp.float32)
+    sub = jax.lax.broadcasted_iota(
+        jnp.int32, (8, wc), 0).astype(jnp.float32)
     # world coords of the 8 coarse rows x Wc coarse columns this program
     # shades: cell c spans [(c-1)h - half, c*h - half) (ops.grid.cell_xy)
     wx = (lane + 0.5) * h_s - off_x

@@ -139,6 +139,28 @@ def init_grid_state(settings: SimSettings) -> GridState:
     return from_particles(init_state(settings), settings)
 
 
+def grow_capacity(gs: GridState, new_k: int) -> GridState:
+    """Widen the slot axis to ``new_k`` (appending sentinel slots).
+
+    Arrivals pack into slots 0..count-1, so appending empties preserves
+    every packing invariant; occupancy and the physics trajectory are
+    unchanged (kernel cost tracks occupancy, not capacity). This is the
+    cheap half of FluidApp's regrow-and-replay answer to the reference's
+    unbounded per-cell loops (compute.wgsl:182-229): headroom costs only
+    memory, never compute."""
+    gy, k, gxp = gs.pos_x.shape
+    if new_k % 8 != 0:
+        raise ValueError(f"new_k {new_k} must be a multiple of 8")
+    if new_k <= k:
+        return gs
+    pad_s = jnp.full((gy, new_k - k, gxp), SENTINEL, jnp.float32)
+    pad_z = jnp.zeros((gy, new_k - k, gxp), jnp.float32)
+    cat = lambda a, p: jnp.concatenate([a, p], axis=1)
+    return dataclasses.replace(
+        gs, pos_x=cat(gs.pos_x, pad_s), pos_y=cat(gs.pos_y, pad_s),
+        vel_x=cat(gs.vel_x, pad_z), vel_y=cat(gs.vel_y, pad_z))
+
+
 def to_particles(gs: GridState, settings: SimSettings) -> Tuple[ParticleState, jax.Array]:
     """(ParticleState, live_count). Slots beyond the live count are zeroed;
     arrays are sized to settings.particle_count."""
