@@ -55,6 +55,7 @@ GOLDEN_RESIDENT = os.path.join(os.path.dirname(__file__), "golden",
                                "resident_512_s30.npz")
 
 
+@pytest.mark.slow
 def test_golden_trajectory_resident():
     """Same scenario through the fused resident engine (the flagship
     kernels): regression protection beyond parity-vs-dense — a snapshot

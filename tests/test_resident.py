@@ -34,6 +34,7 @@ def test_roundtrip_conversion():
         sorted_pts(ps.position), sorted_pts(state.position), atol=0)
 
 
+@pytest.mark.slow
 def test_resident_matches_dense_engine():
     s = settings()
     params = TickParams.default(gravity=(0.0, -9.8))
@@ -55,6 +56,7 @@ def test_resident_matches_dense_engine():
     assert d.max() < 1e-5
 
 
+@pytest.mark.slow
 def test_far_movers_preserved():
     s = settings(n=16)
     pos = np.zeros((16, 2), np.float32)
@@ -91,6 +93,7 @@ def test_capacity_overflow_is_counted_not_silent():
     assert int(live) == 2
 
 
+@pytest.mark.slow
 def test_multi_step_scan():
     s = settings(n=128)
     params = TickParams.default(gravity=(0.0, -9.8))
@@ -104,6 +107,7 @@ def test_multi_step_scan():
     assert np.all(np.isfinite(p)) and p[:, 1].mean() < 0.0
 
 
+@pytest.mark.slow
 def test_resident_obstacle_matches_dense_on_cell_aligned_field():
     """Resident samples the force field per CELL; with a field that is
     constant within each cell (texels aligned 2-per-cell), both engines see
@@ -134,6 +138,7 @@ def test_resident_obstacle_matches_dense_on_cell_aligned_field():
     assert d.max() < 1e-5
 
 
+@pytest.mark.slow
 def test_resident_obstacle_excludes_particles():
     """Qualitative: a circle obstacle expels particles from its interior
     (reference behavior of the push-out field, src/main.rs:495-511)."""
@@ -156,6 +161,7 @@ def test_resident_obstacle_excludes_particles():
     assert np.all(r > 1.5 - 0.25)
 
 
+@pytest.mark.slow
 def test_resident_wrap_boundary():
     """x_boundary='wrap' teleports across the x walls with velocity kept
     (shaders/compute.wgsl:145-146)."""
@@ -213,6 +219,7 @@ def test_strict_capacity_refuses_undersized_scenes():
     FluidApp(ok, TickParams.default(), neighbor_mode="resident")
 
 
+@pytest.mark.slow
 def test_capacity_grow_replays_lossless():
     """capacity_policy='grow': a live-tuned gravity spike that
     out-compresses the auto-sized capacity triggers regrow-and-replay —
@@ -260,6 +267,7 @@ def test_capacity_grow_replays_lossless():
     np.testing.assert_array_equal(got[order], want[order_w])
 
 
+@pytest.mark.slow
 def test_batched_worlds_match_single_world_steps():
     """B worlds stacked along the row axis (make_grid_step n_worlds=B) with
     per-world gravity step EXACTLY like B separate single-world runs
@@ -288,6 +296,7 @@ def test_batched_worlds_match_single_world_steps():
             np.sort(np.asarray(pr.position)[:128], axis=0))
 
 
+@pytest.mark.slow
 def test_batched_worlds_with_force_field_match_single_runs():
     """Batched + obstacles together (round-2 VERDICT weak item 5): B
     worlds with DIFFERENT per-world obstacle fields step exactly like B

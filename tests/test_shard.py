@@ -154,6 +154,7 @@ def test_two_device_mesh(eight_devices):
 # Resident-grid row-band sharding (the fast-engine multi-chip path)
 # ---------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_resident_sharded_matches_single_chip(eight_devices):
     """Row-band sharded resident step vs the single-chip resident engine:
     same kernels, same packing order => bitwise-equal positions."""
@@ -241,6 +242,7 @@ def test_resident_sharded_far_movers(eight_devices):
     assert np.all(np.isfinite(np.asarray(ps.position)[:16]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("variant", [
     "surface_tension", "adaptive", "wrap", "forcefield"])
 def test_resident_sharded_variants_match_single_chip(eight_devices, variant):

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpufluid import (
     SimSettings, TickParams, init_state, make_multi_step, make_step,
@@ -134,6 +135,7 @@ def _run(s, mode, n_steps=3, **kw):
     return state
 
 
+@pytest.mark.slow
 def test_surface_tension_engines_agree():
     ref = _run(st_settings(), "grid", surface_tension=True)
     base = _run(st_settings(), "grid", surface_tension=False)
@@ -146,6 +148,7 @@ def test_surface_tension_engines_agree():
             err_msg=f"mode={mode}")
 
 
+@pytest.mark.slow
 def test_surface_tension_resident_matches_dense():
     from tpufluid.ops import resident
     from scipy.spatial import cKDTree
@@ -168,6 +171,7 @@ def test_surface_tension_resident_matches_dense():
     assert d.max() < 1e-4
 
 
+@pytest.mark.slow
 def test_adaptive_subsampling_engines():
     # piled particles: density > 200 -> stride 13 on the pressure loop
     # (keep cap small: interpreter-mode Pallas cost scales with the unroll)
@@ -194,6 +198,7 @@ def test_adaptive_subsampling_engines():
                                np.asarray(full.velocity))
 
 
+@pytest.mark.slow
 def test_adaptive_subsampling_resident():
     """Low density -> stride 1 -> bitwise no-op; piled -> finite + differs.
     (The resident packing order differs from sort order, so the STRIDED

@@ -508,23 +508,33 @@ def _density_kernel(consts, sc_ref, wid_ref, occc_ref, occ3_ref, *refs):
                     to = _sub_off(t, sub)
                     px0 = tpx_ref[pl.ds(to, sub)]
                     py0 = tpy_ref[pl.ds(to, sub)]
-                    acc = jnp.zeros((sub, gx), jnp.float32)
+                    # per-candidate occupancy guard + one acc RMW per
+                    # candidate: at mean occupancy ~4 of 8 padded slots
+                    # the guard skips ~half the pair work (cf.
+                    # _forces_cand_block — same trade, ~10 RMW issues vs
+                    # ~315 saved per skipped candidate)
                     for kp in range(sub):
-                        for r in range(3):
-                            for dx in (-1, 0, 1):
-                                rl = rolled[(r, dx)]
-                                nx = rl[0][kp:kp + 1, :]
-                                ny = rl[1][kp:kp + 1, :]
-                                ddx = nx - px0
-                                ddy = ny - py0
-                                r2 = ddx * ddx + ddy * ddy
-                                # max(diff,0)^3 ==
-                                # where(r2>h2, 0, diff^3)
-                                # exactly, one op cheaper
-                                diff = jnp.maximum(h2 - r2, 0.0)
-                                acc = acc + diff * diff * diff
-                    acc_ref[pl.ds(to, sub)] = (
-                        acc_ref[pl.ds(to, sub)] + acc)
+                        kpg = o + kp
+
+                        def one_cand(kp=kp):
+                            acc = jnp.zeros((sub, gx), jnp.float32)
+                            for r in range(3):
+                                for dx in (-1, 0, 1):
+                                    rl = rolled[(r, dx)]
+                                    nx = rl[0][kp:kp + 1, :]
+                                    ny = rl[1][kp:kp + 1, :]
+                                    ddx = nx - px0
+                                    ddy = ny - py0
+                                    r2 = ddx * ddx + ddy * ddy
+                                    # max(diff,0)^3 ==
+                                    # where(r2>h2, 0, diff^3)
+                                    # exactly, one op cheaper
+                                    diff = jnp.maximum(h2 - r2, 0.0)
+                                    acc = acc + diff * diff * diff
+                            acc_ref[pl.ds(to, sub)] = (
+                                acc_ref[pl.ds(to, sub)] + acc)
+
+                        pl.when(kpg < occ3)(one_cand)
                     return c2
 
                 _sub_loop(nt, tgt_body, static1)
@@ -797,7 +807,7 @@ def _forces_one_row(i, y, rows, consts, flags, sc_ref, frame, wid_ref,
             def tgt_body(t, c2):
                 to = _sub_off(t, sub)
                 _forces_cand_block(
-                    rows, rolled, o, to, sub,
+                    rows, rolled, o, to, sub, occ3,
                     consts, flags, sc_ref, w,
                     tpx_ref, tpy_ref, d0x_ref, d0y_ref,
                     sfx_ref, sfy_ref, sgx_ref, sgy_ref,
@@ -953,16 +963,20 @@ def _forces_integrate_sub(i, to, sub, rows, consts, flags, sc_ref, w,
     nvy_ref[i, tlo] = jnp.where(live, vy, 0.0)
 
 
-def _forces_cand_block(rows, rolled, o, to, sub, consts, flags,
+def _forces_cand_block(rows, rolled, o, to, sub, occ3, consts, flags,
                        sc_ref, w, tpx_ref, tpy_ref, d0x_ref, d0y_ref,
                        sfx_ref, sfy_ref, sgx_ref, sgy_ref, scc_ref,
                        cgx_ref, cgy_ref, clap_ref, stx_ref, sty_ref,
                        st_grad_norm, st_lap_norm,
                        _c_neg_inv_2h3, _c_inv_h2, _c_half_h):
     """Candidate sub-block [o:o+sub]'s 9-block contribution to one target
-    sub-block [to:to+sub] (both traced tile-aligned offsets), all
-    candidate slots unguarded, accumulated in registers, one scratch RMW
-    per field (see _forces_one_row)."""
+    sub-block [to:to+sub] (tile-aligned offsets; static 0 in the K == sub
+    specialization). Each candidate slot is GUARDED by ``kpg < occ3`` and
+    accumulates its 9 blocks in registers with one scratch RMW per
+    candidate — at mean occupancy ~4 of 8 padded slots this skips ~half
+    the pair work (unguarded register accumulation across the whole
+    sub-block was measured 1.9 -> 2.5 ms on the 1M forces kernel; the RMW
+    costs ~50 vector issues vs ~1300 saved per skipped candidate)."""
     (h, h2, sqr_radius, spiky_norm, visc_norm, k, gx, rblk,
      rows_tot) = consts
     (wrap_x, has_ff, surface_tension, adaptive) = flags
@@ -973,45 +987,42 @@ def _forces_cand_block(rows, rolled, o, to, sub, consts, flags,
     vy0 = rows[1][3][0, tslice]
     p_self = rows[1][4][0, tslice]
     k_self = (jax.lax.broadcasted_iota(jnp.int32, (sub, gx), 0) + to)
-    if adaptive:
-        rho_self = 1.0 / rows[1][5][0, tslice]
-    fx = jnp.zeros((sub, gx), jnp.float32)
-    fy = jnp.zeros((sub, gx), jnp.float32)
-    gx_ = jnp.zeros((sub, gx), jnp.float32)
-    gy_ = jnp.zeros((sub, gx), jnp.float32)
-    scc_run = scc_ref[tslice]
+    rho_self = 1.0 / rows[1][5][0, tslice] if adaptive else None
+    d0x_t = d0x_ref[tslice]
+    d0y_t = d0y_ref[tslice]
     if surface_tension:
-        cg_x = jnp.zeros((sub, gx), jnp.float32)
-        cg_y = jnp.zeros((sub, gx), jnp.float32)
-        cl_ = jnp.zeros((sub, gx), jnp.float32)
         st_dx = stx_ref[tslice]
         st_dy = sty_ref[tslice]
     for kp in range(sub):
-        kpg = o + kp  # global candidate slot (traced)
-        (fx, fy, gx_, gy_, scc_run, st_acc) = _forces_one_cand(
-            kp, kpg, rolled, consts, flags, sc_ref, w,
-            px0, py0, vx0, vy0, p_self, k_self,
-            rho_self if adaptive else None,
-            d0x_ref, d0y_ref, tslice, scc_run,
-            (cg_x, cg_y, cl_, st_dx, st_dy) if surface_tension else None,
-            fx, fy, gx_, gy_, st_grad_norm, st_lap_norm,
-            _c_neg_inv_2h3, _c_inv_h2, _c_half_h)
-        if surface_tension:
-            cg_x, cg_y, cl_ = st_acc
-    sfx_ref[tslice] = sfx_ref[tslice] + fx
-    sfy_ref[tslice] = sfy_ref[tslice] + fy
-    sgx_ref[tslice] = sgx_ref[tslice] + gx_
-    sgy_ref[tslice] = sgy_ref[tslice] + gy_
-    scc_ref[tslice] = scc_run
-    if surface_tension:
-        cgx_ref[tslice] = cgx_ref[tslice] + cg_x
-        cgy_ref[tslice] = cgy_ref[tslice] + cg_y
-        clap_ref[tslice] = clap_ref[tslice] + cl_
+        kpg = o + kp  # global candidate slot (static in the K==sub path)
+
+        def one_cand(kp=kp, kpg=kpg):
+            zero = jnp.zeros((sub, gx), jnp.float32)
+            (fx, fy, gx_, gy_, scc_run, st_acc) = _forces_one_cand(
+                kp, kpg, rolled, consts, flags, sc_ref, w,
+                px0, py0, vx0, vy0, p_self, k_self, rho_self,
+                d0x_t, d0y_t, tslice, scc_ref[tslice],
+                (zero, zero, zero, st_dx, st_dy) if surface_tension
+                else None,
+                zero, zero, zero, zero, st_grad_norm, st_lap_norm,
+                _c_neg_inv_2h3, _c_inv_h2, _c_half_h)
+            sfx_ref[tslice] = sfx_ref[tslice] + fx
+            sfy_ref[tslice] = sfy_ref[tslice] + fy
+            sgx_ref[tslice] = sgx_ref[tslice] + gx_
+            sgy_ref[tslice] = sgy_ref[tslice] + gy_
+            scc_ref[tslice] = scc_run
+            if surface_tension:
+                cg_x, cg_y, cl_ = st_acc
+                cgx_ref[tslice] = cgx_ref[tslice] + cg_x
+                cgy_ref[tslice] = cgy_ref[tslice] + cg_y
+                clap_ref[tslice] = clap_ref[tslice] + cl_
+
+        pl.when(kpg < occ3)(one_cand)
 
 
 def _forces_one_cand(kp, kpg, rolled, consts, flags, sc_ref, w,
                      px0, py0, vx0, vy0, p_self, k_self, rho_self,
-                     d0x_ref, d0y_ref, tslice, scc_run, st_state,
+                     d0x, d0y, tslice, scc_run, st_state,
                      fx, fy, gx_, gy_, st_grad_norm, st_lap_norm,
                      _c_neg_inv_2h3, _c_inv_h2, _c_half_h):
     """One candidate slot's 9 (row, dx) blocks against the target
@@ -1060,8 +1071,6 @@ def _forces_one_cand(kp, kpg, rolled, consts, flags, sc_ref, w,
                 coincident = in_range & (dst == 0.0)
                 has_prior = scc_run >= jnp.uint32(1)
                 salted = kpg < k_self
-                d0x = d0x_ref[tslice]
-                d0y = d0y_ref[tslice]
                 # variants: (0,0)=(d0x,d0y) (0,1)=(-d0y,d0x)
                 #           (1,0)=(-d0x,-d0y) (1,1)=(d0y,-d0x)
                 tx = jnp.where(
