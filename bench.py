@@ -239,6 +239,85 @@ def run_configs(which=None, out=sys.stdout, mode="resident"):
     return results
 
 
+def config5_model(out=sys.stdout):
+    """Config 5 derived estimate (multi-chip hardware unavailable on this
+    host): measure ONE device's compute share of the 4M/v5e-8 scene on the
+    real chip, compute the exact per-step ICI traffic of the row-band
+    sharded step from its spec, and combine under a documented bandwidth
+    assumption.
+
+    Per-step comm of make_sharded_resident_step, per direction (see
+    tpufluid/parallel/shard.py — boundary-row merge 1 row, (pos, vel) halo
+    2 rows, each 4 f32 fields of [K, Gxp], plus O(bytes~0) occupancy
+    scalars and a psum far-mover gate):
+
+        bytes/dir = 3 rows x 4 fields x K x Gxp x 4 B
+
+    Assumptions (stated in the output): v5e ICI one-way bandwidth
+    45 GB/s per link (jax-ml.github.io/scaling-book hardware table),
+    ~2 us launch+hop latency per collective phase, 3 phases/step, and
+    both directions riding distinct links concurrently. Compute share:
+    one band of rows_per_dev (+4 halo rows the sharded kernels also
+    process) at n/8 particles, measured as a standalone single-chip
+    scene with identical grid width, K, and occupancy.
+    """
+    import math
+    import jax
+    from tpufluid import SimSettings
+    from tpufluid.ops import resident
+    from tpufluid.parallel import build_resident_spec
+
+    n, d, side = 4_194_304, 8, 424.0
+    settings = SimSettings(
+        particle_count=n, particle_spacing=0.1, smoothing_radius=0.2,
+        size=(side, side), cell_capacity=16)
+    spec = build_resident_spec(settings, d)
+    k = spec.settings.cell_capacity
+    gxp = resident._gxp(spec.settings)
+    rows = spec.rows_per_dev
+
+    # one device's band as a standalone scene: same width/K, band-height
+    # world (grid_h == rows), n/d particles
+    from tpufluid.models.scenes import Scene
+    from tpufluid.params import TickParams
+    h = settings.smoothing_radius
+    # wide spawn (4096 columns): the band's fluid is a horizontal slab
+    # like each device's share of the 4M scene, not a square block (a
+    # sqrt(n)-square lattice would be taller than the band and pile up)
+    band_settings = SimSettings(
+        particle_count=n // d, particle_spacing=0.1, smoothing_radius=h,
+        size=(side, (rows - 2) * h), cell_capacity=16,
+        spawn_columns=4096)
+    band = Scene(name="config5-band", settings=band_settings,
+                 params=TickParams.default())
+    r = bench_step(band, warmup=2, iters=10)
+    t_band = r["ms_per_step"] * 1e-3  # s
+
+    halo_factor = (rows + 4) / rows  # sharded kernels run band+halo rows
+    bytes_dir = 3 * 4 * k * gxp * 4
+    ici_bw = 4.5e10          # B/s one-way per link (v5e)
+    phase_lat = 2e-6         # s per collective phase (launch + 1 hop)
+    t_comm = bytes_dir / ici_bw + 3 * phase_lat
+    t_step = t_band * halo_factor + t_comm
+    est = dict(
+        config="config5-derived-4M-v5e8",
+        particles=n, devices=d,
+        band_particles=n // d, band_rows=rows, k=k, gxp=gxp,
+        measured_band_ms_per_step=t_band * 1e3,
+        halo_factor=round(halo_factor, 4),
+        comm_bytes_per_dir_per_step=bytes_dir,
+        assumed_ici_oneway_GBps=ici_bw / 1e9,
+        modeled_comm_ms_per_step=t_comm * 1e3,
+        est_ms_per_step=t_step * 1e3,
+        est_particle_steps_per_sec=n / t_step,
+        note=("derived: measured per-band compute on one v5e chip + "
+              "analytic ICI model; multi-chip correctness is tested "
+              "bitwise on an 8-virtual-device CPU mesh (tests/test_shard)"),
+    )
+    print(json.dumps(est, default=float), file=out, flush=True)
+    return est
+
+
 def bench_sharded(mode="resident", n=None, iters=10):
     """Config 5: multi-chip throughput on whatever devices exist.
 
@@ -385,6 +464,9 @@ def main():
     ap.add_argument("--all", action="store_true", help="full ladder to stderr")
     ap.add_argument("--parity", action="store_true",
                     help="compiled engine-parity artifact -> PARITY.json")
+    ap.add_argument("--config5-model", action="store_true",
+                    help="derived 4M/v5e-8 estimate (measured band compute "
+                         "+ analytic ICI comm model)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--neighbor-mode", default="resident",
                     choices=("grid", "dense", "pallas", "resident"))
@@ -393,6 +475,10 @@ def main():
     if args.parity:
         ok = run_parity()
         sys.exit(0 if ok else 1)
+
+    if args.config5_model:
+        config5_model()
+        return
 
     if args.all:
         run_configs(None, out=sys.stderr)

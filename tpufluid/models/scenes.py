@@ -76,12 +76,22 @@ def scene_256k() -> Scene:
 
 
 def scene_1m() -> Scene:
-    """BASELINE config 4 base: 1M particles on one chip."""
+    """BASELINE config 4 base: 1M particles on one chip.
+
+    Tile-aligned world: grid_w = ceil(101.9/0.2)+2 = 512 — exactly four
+    128-lane vector tiles, so no vector op in the fused kernels pays for
+    pad lanes (the round-2 104x104 box compiled to a 640-lane grid with
+    118 dead columns: 18% of every op). The spawn lattice is narrowed to
+    1008 columns (SimSettings.spawn_columns) so the fluid fits the
+    tighter box with the cell-aligned 2-columns-per-cell packing of the
+    reference's defaults (spacing = h/2, src/main.rs:48-54).
+    """
     return Scene(
         name="sph-1m",
         settings=SimSettings(
             particle_count=1_048_576, particle_spacing=0.1,
-            smoothing_radius=0.2, size=(104.0, 104.0), cell_capacity=8,
+            smoothing_radius=0.2, size=(101.9, 104.1), cell_capacity=8,
+            spawn_columns=1008,
         ),
         params=TickParams.default(),
     )

@@ -1020,6 +1020,22 @@ def _forces_cand_block(rows, rolled, o, to, sub, occ3, consts, flags,
         pl.when(kpg < occ3)(one_cand)
 
 
+def _adaptive_factor(kpg, rho_self):
+    """{0, 1} f32 adaptive-subsampling stride factor
+    (shaders/compute.wgsl:170-174,195): pressure candidates strided
+    1/5/13 as the target's self density crosses 150/200. ``kpg`` is a
+    static int in the K == sub specialization (gates fold to constants),
+    else traced (scalar-core ops)."""
+    if isinstance(kpg, int):
+        c5 = jnp.float32(1.0 if kpg % 5 == 0 else 0.0)
+        c13 = jnp.float32(1.0 if kpg % 13 == 0 else 0.0)
+    else:
+        c5 = ((kpg % 5) == 0).astype(jnp.float32)
+        c13 = ((kpg % 13) == 0).astype(jnp.float32)
+    return jnp.where(rho_self >= 200.0, c13,
+                     jnp.where(rho_self >= 150.0, c5, 1.0))
+
+
 def _forces_one_cand(kp, kpg, rolled, consts, flags, sc_ref, w,
                      px0, py0, vx0, vy0, p_self, k_self, rho_self,
                      d0x, d0y, tslice, scc_run, st_state,
@@ -1053,6 +1069,60 @@ def _forces_one_cand(kp, kpg, rolled, consts, flags, sc_ref, w,
             # coincident path overwrites dir and kv anyway.
             inv_dst = jax.lax.rsqrt(jnp.maximum(r2, 1e-35))
             dst = r2 * inv_dst
+
+            if not is_center:
+                # LEAN path (8 of 9 blocks): range gates become
+                # kernel-value clamps — min(dst-h, 0) IS the spiky
+                # term and is exactly 0 out of range; the viscosity
+                # kernel f(x) = -x^3/2 + x^2 + 1/(2x) - 1 (x = dst/h)
+                # has a double root at x = 1, f > 0 inside and f <= 0
+                # outside, so max(kv, 0) IS the range gate. Sentinel
+                # candidates give dst ~ 1e9 -> both clamp to 0. The
+                # unit direction is never materialized: inv_dst is
+                # folded into the pair weight (1-ulp reassociation vs
+                # (dd*inv_dst)*wp, within the engines' f32
+                # reduction-order tolerance). Coincident pairs cannot
+                # occur off-center (bitwise-equal predicted positions
+                # share a cell); the sub-1e-19 straddling-underflow
+                # case contributes ddx*(wp*inv_dst) ~ 0 exactly as
+                # the dir-based form did.
+                kern_p = jnp.minimum(dst - h, 0.0) * (0.5 * spiky_norm)
+                wp = kern_p * (p_self + p_nb) * inv_rho
+                if adaptive:
+                    wp = wp * _adaptive_factor(kpg, rho_self)
+                s = wp * inv_dst
+                fx = fx + ddx * s
+                fy = fy + ddy * s
+
+                if surface_tension:
+                    ok_st = r2 <= sqr_radius
+                    dirx = ddx * inv_dst
+                    diry = ddy * inv_dst
+                    rlen2 = dirx * dirx + diry * diry
+                    rlen = jnp.sqrt(rlen2)
+                    gdiff = h2 - rlen2
+                    gsc = jnp.where(
+                        (rlen >= h) | (rlen == 0.0), 0.0,
+                        jnp.float32(st_grad_norm) * gdiff * gdiff)
+                    m_rho = sc_ref[w, 14] * inv_rho
+                    cg_x = cg_x + jnp.where(
+                        ok_st, m_rho * gsc * dirx, 0.0)
+                    cg_y = cg_y + jnp.where(
+                        ok_st, m_rho * gsc * diry, 0.0)
+                    lap = jnp.where(
+                        dst > h, 0.0,
+                        jnp.float32(st_lap_norm) * (h2 - r2)
+                        * (3.0 * h2 - 4.0 * r2))
+                    cl_ = cl_ + jnp.where(ok_st, m_rho * lap, 0.0)
+
+                kv = jnp.maximum(
+                    r2 * dst * _c_neg_inv_2h3 + r2 * _c_inv_h2
+                    + inv_dst * _c_half_h - 1.0, 0.0)
+                wv = kv * inv_rho
+                gx_ = gx_ + (nvx - vx0) * wv
+                gy_ = gy_ + (nvy - vy0) * wv
+                continue
+
             in_range = r2 <= sqr_radius
             if is_center:
                 in_range = in_range & (k_self != kpg)
@@ -1093,19 +1163,8 @@ def _forces_one_cand(kp, kpg, rolled, consts, flags, sc_ref, w,
             kern_p = (dst - h) * (0.5 * spiky_norm)
             in_range_p = in_range
             if adaptive:
-                # kpg is a static int in the K == sub specialization
-                # (stride gates fold to constants), else traced (dynamic
-                # sub-block offset + static lane; scalar-core ops)
-                if isinstance(kpg, int):
-                    c5 = jnp.float32(1.0 if kpg % 5 == 0 else 0.0)
-                    c13 = jnp.float32(1.0 if kpg % 13 == 0 else 0.0)
-                else:
-                    c5 = ((kpg % 5) == 0).astype(jnp.float32)
-                    c13 = ((kpg % 13) == 0).astype(jnp.float32)
-                sub_f = jnp.where(
-                    rho_self >= 200.0, c13,
-                    jnp.where(rho_self >= 150.0, c5, 1.0))
-                in_range_p = in_range & (sub_f > 0.0)
+                in_range_p = in_range & (
+                    _adaptive_factor(kpg, rho_self) > 0.0)
             wp = jnp.where(
                 in_range_p, kern_p * shared_p * inv_rho, 0.0)
             fx = fx + dirx * wp

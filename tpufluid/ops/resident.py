@@ -90,13 +90,19 @@ def pad_capacity(settings: SimSettings) -> SimSettings:
 
 
 def rows_per_program(settings: SimSettings) -> int:
-    """Fewer center rows per program at large cell_capacity so the
-    (rblk+2)-row input blocks + outputs + scratch stay inside the ~16 MB
-    VMEM budget (row padding stays at 4, a multiple of every choice)."""
-    k = settings.cell_capacity
-    if k <= 32:
-        return ROWS_PER_PROGRAM
-    return 2 if k <= 64 else 1
+    """Largest rows-per-program whose forces-kernel VMEM footprint fits
+    the ~16 MB budget (row padding stays at 4, a multiple of every
+    choice). Footprint model, validated against the compiler's scoped-
+    vmem accounting (a K=16, Gxp=2176 slab at rblk=4 reports 17.04 MB):
+    double-buffered 6-field (rblk+2)-row inputs + double-buffered 4-field
+    outputs + ~18 row-tiles of scratch, all [K, Gxp] f32."""
+    k = pad_capacity(settings).cell_capacity
+    gxp = _gxp(settings)
+    for rblk in (ROWS_PER_PROGRAM, 2, 1):
+        est = 4 * k * gxp * (12 * (rblk + 2) + 8 * rblk + 18)
+        if est <= 15 * 2**20:
+            return rblk
+    return 1
 
 
 def _rows(settings: SimSettings) -> int:

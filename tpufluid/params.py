@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -58,6 +58,14 @@ class SimSettings:
     # scenes, >=32 for gravity/dam-break scenes. Cost scales ~capacity^2
     # in the stencil kernels.
     cell_capacity: int = 16
+    # TPU-specific: spawn-lattice column count override. The default
+    # (None) reproduces the reference's sqrt(n)-wide lattice
+    # (src/simulation.rs:147-163). Every vector op in the fused kernels
+    # processes the grid's x-axis in 128-lane tiles, so a world whose
+    # grid_w is a multiple of 128 wastes zero lanes on padding
+    # (tpufluid.ops.resident._gxp); a narrower spawn lattice lets the
+    # world shrink to such a boundary (see models.scene_1m).
+    spawn_columns: Optional[int] = None
 
     def __post_init__(self):
         if self.particle_count <= 0:

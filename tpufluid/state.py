@@ -51,7 +51,12 @@ def init_state(settings: SimSettings) -> ParticleState:
     """
     n = settings.particle_count
     spacing = np.float32(settings.particle_spacing)
-    per_row = np.float32(np.sqrt(np.float32(n)))
+    if settings.spawn_columns is not None:
+        # TPU lane-alignment override (SimSettings.spawn_columns): same
+        # centered-lattice math with an explicit column count.
+        per_row = np.float32(settings.spawn_columns)
+    else:
+        per_row = np.float32(np.sqrt(np.float32(n)))
     per_col = (np.float32(n) - 1.0) / per_row + 1.0
 
     i = np.arange(n, dtype=np.int64)
