@@ -263,31 +263,31 @@ def config5_model(out=sys.stdout):
     """
     import math
     import jax
-    from tpufluid import SimSettings
+    from tpufluid import SimSettings, models
     from tpufluid.ops import resident
     from tpufluid.parallel import build_resident_spec
 
-    n, d, side = 4_194_304, 8, 424.0
-    settings = SimSettings(
-        particle_count=n, particle_spacing=0.1, smoothing_radius=0.2,
-        size=(side, side), cell_capacity=16)
+    scene4 = models.scene_4m()
+    settings = scene4.settings
+    n, d = settings.particle_count, 8
     spec = build_resident_spec(settings, d)
     k = spec.settings.cell_capacity
     gxp = resident._gxp(spec.settings)
     rows = spec.rows_per_dev
 
-    # one device's band as a standalone scene: same width/K, band-height
-    # world (grid_h == rows), n/d particles
+    # one device's band as a standalone scene: same width/K/spawn
+    # columns, band-height world (grid_h == rows), n/d particles — the
+    # band's fluid is a horizontal slab like each device's share of the
+    # 4M scene (a sqrt(n)-square lattice would be taller than the band
+    # and pile up on the floor)
     from tpufluid.models.scenes import Scene
     from tpufluid.params import TickParams
     h = settings.smoothing_radius
-    # wide spawn (4096 columns): the band's fluid is a horizontal slab
-    # like each device's share of the 4M scene, not a square block (a
-    # sqrt(n)-square lattice would be taller than the band and pile up)
     band_settings = SimSettings(
-        particle_count=n // d, particle_spacing=0.1, smoothing_radius=h,
-        size=(side, (rows - 2) * h), cell_capacity=16,
-        spawn_columns=4096)
+        particle_count=n // d, particle_spacing=settings.particle_spacing,
+        smoothing_radius=h, size=(settings.size[0], (rows - 2) * h),
+        cell_capacity=settings.cell_capacity,
+        spawn_columns=settings.spawn_columns)
     band = Scene(name="config5-band", settings=band_settings,
                  params=TickParams.default())
     r = bench_step(band, warmup=2, iters=10)
@@ -330,13 +330,18 @@ def bench_sharded(mode="resident", n=None, iters=10):
 
     import math
     d = jax.device_count()
-    if n is None:
-        n = 4_194_304 if d >= 8 else 524_288 * d
-    side = round(424.0 * math.sqrt(n / 4_194_304), 1)
-    settings = SimSettings(
-        particle_count=n, particle_spacing=0.1, smoothing_radius=0.2,
-        size=(side, side), cell_capacity=16,
-    )
+    if n is None and d >= 8:
+        from tpufluid import models
+        settings = models.scene_4m().settings  # BASELINE config 5 scene
+        n = settings.particle_count
+    else:
+        if n is None:
+            n = 524_288 * d
+        side = round(204.3 * math.sqrt(n / 4_194_304), 1)
+        settings = SimSettings(
+            particle_count=n, particle_spacing=0.1, smoothing_radius=0.2,
+            size=(side, side), cell_capacity=16,
+        )
     params = TickParams.default()
     if mode == "resident":
         from tpufluid.parallel import (

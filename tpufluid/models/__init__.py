@@ -6,4 +6,5 @@ from .scenes import (  # noqa: F401
     scene_64k,
     scene_256k,
     scene_1m,
+    scene_4m,
 )

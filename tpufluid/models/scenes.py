@@ -97,6 +97,25 @@ def scene_1m() -> Scene:
     )
 
 
+def scene_4m() -> Scene:
+    """BASELINE config 5: 4M particles sharded across v5e-8 by row bands.
+
+    Tile-aligned like scene_1m: grid 1024 x 1044 (eight 128-lane tiles
+    wide, zero pad columns), spawn 2016 columns so the fluid fills the
+    box at the reference's rest packing (2 lattice columns per cell).
+    131 grid rows per device on an 8-chip mesh.
+    """
+    return Scene(
+        name="sph-4m",
+        settings=SimSettings(
+            particle_count=4_194_304, particle_spacing=0.1,
+            smoothing_radius=0.2, size=(204.3, 208.3), cell_capacity=8,
+            spawn_columns=2016,
+        ),
+        params=TickParams.default(),
+    )
+
+
 def batch_scenes(scene: Scene, gravities, viscosities, **step_kw):
     """BASELINE config 4: vmap batch of B independent scenes with differing
     gravity/viscosity — the functional-design freebie the wgpu architecture
