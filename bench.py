@@ -127,17 +127,34 @@ def bench_render_grid(scene, width=1920, height=1080, warmup=2, iters=5):
         scene.settings.size[0],
         scene.settings.size[0] * height / width,
     ))
-    rfn = jax.jit(functools.partial(
-        render_grid.render_metaball_grid, settings=scene.settings,
-        width=width, height=height, camera=cam,
-    ))
-    frame = rfn(gs)
+    import dataclasses as _dc
+    import jax.numpy as jnp
+    from jax import lax
+
+    burst = 10  # amortize the ~3.5 ms tunnel dispatch floor
+
+    @jax.jit
+    def run(g):
+        def body(c, _):
+            g, prev = c
+            # carry dependence (0-valued in f32) so XLA cannot hoist the
+            # loop-invariant render out of the scan
+            g = _dc.replace(g, pos_x=g.pos_x + prev[0, 0, 0] * 0.0)
+            frame = render_grid.render_metaball_grid(
+                g, scene.settings, width, height, cam)
+            return (g, frame), None
+        (g, frame), _ = lax.scan(body, (g, jnp.zeros((height, width, 4),
+                                                     jnp.float32)),
+                                 None, length=burst)
+        return frame
+
+    frame = run(gs)
     _sync(frame)
     t0 = time.perf_counter()
     for _ in range(iters):
-        frame = rfn(gs)
+        frame = run(gs)
     _sync(frame)
-    return (time.perf_counter() - t0) / iters * 1e3  # ms/frame
+    return (time.perf_counter() - t0) / iters / burst * 1e3  # ms/frame
 
 
 def bench_frame(scene, width=960, height=540, warmup=2, iters=5):
@@ -156,20 +173,29 @@ def bench_frame(scene, width=960, height=540, warmup=2, iters=5):
         scene.settings.size[0] * height / width,
     ))
 
-    @jax.jit
-    def frame(g):
-        g = run16(g, scene.params)
-        rgba = render_grid.render_metaball_grid(
-            g, scene.settings, width, height, cam)
-        return g, rgba
+    from jax import lax
 
-    gs, rgba = frame(gs)
-    _sync(rgba)
+    burst = 5  # frames per dispatch (amortizes the ~3.5 ms tunnel floor)
+
+    @jax.jit
+    def frames(g):
+        def body(g, _):
+            g = run16(g, scene.params)
+            rgba = render_grid.render_metaball_grid(
+                g, scene.settings, width, height, cam)
+            # full-frame output so XLA cannot dead-code the shading
+            return g, rgba
+        g, px = lax.scan(body, g, None, length=burst)
+        return g, px
+
+    gs, px = frames(gs)
+    _sync(px)
     t0 = time.perf_counter()
     for _ in range(iters):
-        gs, rgba = frame(gs)
-    _sync(rgba)
-    return (time.perf_counter() - t0) / iters * 1e3  # ms (16 ticks + render)
+        gs, px = frames(gs)
+    _sync(px)
+    return ((time.perf_counter() - t0) / iters / burst
+            * 1e3)  # ms (16 ticks + render)
 
 
 def run_configs(which=None, out=sys.stdout, mode="resident"):
@@ -187,21 +213,27 @@ def run_configs(which=None, out=sys.stdout, mode="resident"):
         results[key] = value
         print(json.dumps({key: value}, default=float), file=out, flush=True)
 
+    # burst sizes put >= ~50 ms of execution behind each dispatch: the
+    # axon tunnel has a measured ~3-3.5 ms fixed cost PER DISPATCH, which
+    # at burst 10 inflated a 0.25 ms/step 4k scene to a reported 0.40
+    # (round-2/3 small-N rows suffered this artifact)
     if wants(1):
         record("config1_4k", bench_step(models.dam_break_4k(),
-                                        neighbor_mode=mode))
+                                        neighbor_mode=mode, burst=200))
     if wants(2):
         record("config2_64k", bench_step(models.scene_64k(),
-                                         neighbor_mode=mode))
+                                         neighbor_mode=mode, burst=80))
     if wants(3):
-        r = bench_step(models.scene_256k(), neighbor_mode=mode)
+        r = bench_step(models.scene_256k(), neighbor_mode=mode, burst=50)
         r["render_ms_per_frame_1080p"] = bench_render(models.scene_256k())
         r["render_grid_ms_per_frame_1080p"] = bench_render_grid(
             models.scene_256k())
         r["frame_ms_960x540_16ticks"] = bench_frame(models.scene_256k())
         record("config3_256k", r)
     if wants(4):
-        r = bench_step(models.scene_1m(), neighbor_mode=mode)
+        r = bench_step(models.scene_1m(), neighbor_mode=mode, burst=30)
+        r["render_grid_ms_per_frame_1080p"] = bench_render_grid(
+            models.scene_1m())
         # batch: 8 independent 128k worlds (1M particles total) with
         # differing gravity/viscosity, stacked along the grid-row axis on
         # the resident fast path (ops.resident n_worlds — no vmap, one
@@ -500,8 +532,8 @@ def main():
             print(f"parity refresh failed: {e!r}", file=sys.stderr)
 
     from tpufluid import models
-    r = bench_step(models.scene_1m(), warmup=1, iters=args.iters,
-                   burst=30, neighbor_mode=args.neighbor_mode)
+    r = bench_step(models.scene_1m(), warmup=3, iters=max(args.iters, 5),
+                   burst=40, neighbor_mode=args.neighbor_mode)
     value = r["particle_steps_per_sec"]
     print(json.dumps(dict(
         metric="particle_steps_per_sec_1M",
