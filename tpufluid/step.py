@@ -112,10 +112,14 @@ def _integrate(position, velocity, predicted, density, accel, params: TickParams
     nan_any = jnp.any(jnp.isnan(velocity), axis=-1, keepdims=True)
     velocity = jnp.where(nan_any, 0.0, velocity)
 
-    # Speed clamp at 500 (compute.wgsl:118-122).
+    # Speed clamp at 500 (compute.wgsl:118-122). The denominator is
+    # where-guarded so the masked branch never forms 0/0 (checkify
+    # hygiene — utils.debugging.checked_step runs with nan_checks);
+    # results are bitwise identical (the guarded lane is discarded).
     speed = jnp.linalg.norm(velocity, axis=-1, keepdims=True)
+    fast = speed > MAX_SPEED
     velocity = jnp.where(
-        speed > MAX_SPEED, velocity / speed * MAX_SPEED, velocity
+        fast, velocity / jnp.where(fast, speed, 1.0) * MAX_SPEED, velocity
     )
 
     position = position + velocity * dt

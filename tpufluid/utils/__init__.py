@@ -1,1 +1,1 @@
-from . import io, profiling  # noqa: F401
+from . import debugging, io, profiling  # noqa: F401
