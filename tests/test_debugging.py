@@ -35,7 +35,8 @@ def test_checked_step_flags_nan_input():
         err.throw()
 
 
-def test_diagnose_resident_step_clean():
+@pytest.mark.slow  # interpret-mode Pallas; the localizes test below
+def test_diagnose_resident_step_clean():  # covers the same code paths
     s = _settings()
     from tpufluid.ops import resident
     gs = resident.init_grid_state(s)
@@ -57,4 +58,5 @@ def test_diagnose_resident_step_localizes_bad_input():
     bad = gs.vel_x.at[y, k, x].set(jnp.inf)
     gs = dataclasses.replace(gs, vel_x=bad)
     rep = diagnose_resident_step(gs, TickParams.default(), s)
+    assert [k for k in rep] == ["input", "rebin", "density", "forces"]
     assert not rep["input"]["finite"]
