@@ -78,19 +78,24 @@ def scene_256k() -> Scene:
 def scene_1m() -> Scene:
     """BASELINE config 4 base: 1M particles on one chip.
 
-    Tile-aligned world: grid_w = ceil(101.9/0.2)+2 = 512 — exactly four
+    Tile-aligned world: grid_w = ceil(101.95/0.2)+2 = 512 — exactly four
     128-lane vector tiles, so no vector op in the fused kernels pays for
     pad lanes (the round-2 104x104 box compiled to a 640-lane grid with
     118 dead columns: 18% of every op). The spawn lattice is narrowed to
     1008 columns (SimSettings.spawn_columns) so the fluid fits the
     tighter box with the cell-aligned 2-columns-per-cell packing of the
-    reference's defaults (spacing = h/2, src/main.rs:48-54).
+    reference's defaults (spacing = h/2, src/main.rs:48-54). The box is
+    offset an eighth-cell from the lattice (101.95, not 101.9) so f32
+    rounding of the cell transform never lands lattice columns ON a cell
+    boundary — at 101.9 the boundary ties scattered columns 1/3 per cell
+    and inflated initial occupancy (and occ3-bounded kernel work) to 6;
+    aligned, the scene starts at the true rest occupancy 4.
     """
     return Scene(
         name="sph-1m",
         settings=SimSettings(
             particle_count=1_048_576, particle_spacing=0.1,
-            smoothing_radius=0.2, size=(101.9, 104.1), cell_capacity=8,
+            smoothing_radius=0.2, size=(101.95, 104.1), cell_capacity=8,
             spawn_columns=1008,
         ),
         params=TickParams.default(),
@@ -109,7 +114,7 @@ def scene_4m() -> Scene:
         name="sph-4m",
         settings=SimSettings(
             particle_count=4_194_304, particle_spacing=0.1,
-            smoothing_radius=0.2, size=(204.3, 208.3), cell_capacity=8,
+            smoothing_radius=0.2, size=(204.35, 208.3), cell_capacity=8,
             spawn_columns=2016,
         ),
         params=TickParams.default(),
