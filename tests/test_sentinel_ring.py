@@ -22,26 +22,27 @@ F = np.float32
 
 
 def _settings(n):
-    # 8.0 / 0.5 == 16.0 exactly in f32: the failing configuration
+    # 4.0 / 0.5 == 8.0 exactly in f32: the failing configuration
+    # (grid kept small — interpret-mode Pallas cost scales with rows)
     return SimSettings(particle_count=n, particle_spacing=0.1,
-                       smoothing_radius=0.5, size=(8.0, 8.0),
+                       smoothing_radius=0.5, size=(4.0, 4.0),
                        cell_capacity=8)
 
 
 def _wall_scene():
     """Particles on the top wall + corners + a few interior ones."""
-    pts = [(-1.2, 4.0), (0.0, 4.0), (1.2, 4.0),   # top wall
-           (4.0, 4.0), (-4.0, -4.0),              # corners
-           (4.0, 0.0), (-4.0, 1.3),               # side walls
-           (0.0, 0.0), (0.3, 0.1), (1.0, -2.0)]   # interior
+    pts = [(-0.6, 2.0), (0.0, 2.0), (0.6, 2.0),   # top wall
+           (2.0, 2.0), (-2.0, -2.0),              # corners
+           (2.0, 0.0), (-2.0, 0.65),              # side walls
+           (0.0, 0.0), (0.3, 0.1), (0.5, -1.0)]   # interior
     return np.asarray(pts, F)
 
 
 def test_cell_xy_clamped_to_interior():
     s = _settings(8)
-    gd = s.grid_w  # == ceil(16)+2 == 18; interior is 1..16
-    assert gd == 18
-    pts = jnp.asarray([(4.0, 4.0), (-4.0, -4.0), (4.0, -4.0)], jnp.float32)
+    gd = s.grid_w  # == ceil(8)+2 == 10; interior is 1..8
+    assert gd == 10
+    pts = jnp.asarray([(2.0, 2.0), (-2.0, -2.0), (2.0, -2.0)], jnp.float32)
     xy = np.asarray(gridops.cell_xy(pts, s))
     assert xy.max() <= gd - 2, xy
     assert xy.min() >= 1, xy

@@ -81,10 +81,24 @@ class FluidApp:
         bounded = step_kw.get("neighbor_mode") in ("resident", "dense",
                                                    "pallas")
         if bounded and capacity_policy == "grow":
-            # auto-size up front; the runtime regrow below is the backstop
             from .params import suggest_cell_capacity
             import dataclasses
-            rec = suggest_cell_capacity(self.settings, self.params)
+            if self._resident:
+                # Start LEAN: capacity only needs to cover the spawn
+                # lattice (suggest without params = rest occupancy);
+                # the 256-tick loss audit + regrow-and-replay is the
+                # backstop, and it reproduces the always-big-capacity
+                # trajectory bitwise. Slot-tile headroom is NOT free —
+                # it is pure DMA: the reference default scene (100k,
+                # 53x53, g=-9.8) peaks at occupancy 6, and K=16 (the
+                # compression model's suggestion) measured 1.06 ms/step
+                # vs 0.849 at K=8 on v5e. Heavy-compression scenes pay
+                # 1-2 regrow recompiles at startup instead.
+                rec = suggest_cell_capacity(self.settings)
+            else:
+                # dense/pallas have no runtime regrow: size for the
+                # modeled compression peak up front
+                rec = suggest_cell_capacity(self.settings, self.params)
             if settings.cell_capacity < rec:
                 settings = dataclasses.replace(settings, cell_capacity=rec)
                 self.settings = settings
@@ -323,9 +337,46 @@ class FluidApp:
         self._snapshot = self._grid_state
         self._lost_baseline = lost
         self._ticks_since_snapshot = 0
+        if self._capacity_policy == "grow":
+            self._maybe_shrink()
+
+    # shrink-back hysteresis: one tile down after this many consecutive
+    # clean audits whose peak occupancy clears the smaller capacity by
+    # the margin (grow costs a replay — don't flap on the boundary)
+    SHRINK_AFTER_AUDITS = 2
+    SHRINK_MARGIN = 2
+
+    def _maybe_shrink(self) -> None:
+        """Reclaim capacity headroom left by a transient-compression
+        regrow: slot tiles are free for compute (occupancy-sliced
+        kernels) but the rebin kernel writes all K output slots —
+        the reference default scene regrows 8->16 on the spawn impact,
+        settles at occupancy 6, and runs 25% faster back at K=8."""
+        import dataclasses
+        k = self.settings.cell_capacity
+        new_k = k - 8
+        if new_k < 8:
+            self._shrink_streak = 0
+            return
+        occ = int(self._grid_state.occ_row.max())
+        if occ > new_k - self.SHRINK_MARGIN:
+            self._shrink_streak = 0
+            return
+        self._shrink_streak = getattr(self, "_shrink_streak", 0) + 1
+        if self._shrink_streak < self.SHRINK_AFTER_AUDITS:
+            return
+        self._shrink_streak = 0
+        self.settings = dataclasses.replace(
+            self.settings, cell_capacity=new_k)
+        self._rebuild_step(has_force_field=self._has_objects)
+        self._grid_state = self._residentops.shrink_capacity(
+            self._grid_state, new_k)
+        self._snapshot = self._grid_state
+        self._state_dirty = True
 
     def _regrow_and_replay(self, lost0: int) -> None:
         import dataclasses
+        self._shrink_streak = 0
         replay = self._ticks_since_snapshot
         while True:
             k = self.settings.cell_capacity

@@ -167,6 +167,29 @@ def grow_capacity(gs: GridState, new_k: int) -> GridState:
         vel_x=cat(gs.vel_x, pad_z), vel_y=cat(gs.vel_y, pad_z))
 
 
+def shrink_capacity(gs: GridState, new_k: int) -> GridState:
+    """Narrow the slot axis to ``new_k`` (dropping trailing slot tiles).
+
+    Exact only when every row's occupancy is <= ``new_k``: arrivals pack
+    into slots 0..count-1, so the trailing tiles hold only sentinels and
+    slicing them off loses nothing (the caller — FluidApp's shrink-back
+    hysteresis — checks max occupancy first). The inverse of
+    ``grow_capacity``: slot tiles are free for COMPUTE (occupancy-sliced
+    kernels) but not for DMA — the rebin kernel writes all ``K`` output
+    slots, measured 1.06 vs 0.849 ms/step at K=16 vs 8 on the reference
+    default scene (100k, 53x53) — so sustained headroom is worth
+    reclaiming after a transient-compression regrow."""
+    gy, k, gxp = gs.pos_x.shape
+    if new_k % 8 != 0:
+        raise ValueError(f"new_k {new_k} must be a multiple of 8")
+    if new_k >= k:
+        return gs
+    sl = lambda a: a[:, :new_k, :]
+    return dataclasses.replace(
+        gs, pos_x=sl(gs.pos_x), pos_y=sl(gs.pos_y),
+        vel_x=sl(gs.vel_x), vel_y=sl(gs.vel_y))
+
+
 def to_particles(gs: GridState, settings: SimSettings) -> Tuple[ParticleState, jax.Array]:
     """(ParticleState, live_count). Slots beyond the live count are zeroed;
     arrays are sized to settings.particle_count."""

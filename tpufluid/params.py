@@ -57,7 +57,13 @@ class SimSettings:
     # contributing pressure -> deeper piling). Use 8 for zero-gravity
     # scenes, >=32 for gravity/dam-break scenes. Cost scales ~capacity^2
     # in the stencil kernels.
-    cell_capacity: int = 16
+    # Default sized for the reference's one hardcoded scene (100k in a
+    # 53x53 box at g=-9.8, src/main.rs:48-54): measured peak occupancy 6
+    # over 1000 steps; one 8-sublane tile. Slot tiles are pure DMA cost
+    # (K=16 measured 1.06 ms/step vs 0.849 at K=8 on that scene, v5e) —
+    # heavier scenes are covered by FluidApp capacity_policy "grow"
+    # (audit + regrow-and-replay) or "strict" (sized refusal).
+    cell_capacity: int = 8
     # TPU-specific: spawn-lattice column count override. The default
     # (None) reproduces the reference's sqrt(n)-wide lattice
     # (src/simulation.rs:147-163). Every vector op in the fused kernels
