@@ -269,6 +269,43 @@ def test_capacity_grow_replays_lossless():
     np.testing.assert_array_equal(got[order], want[order_w])
 
 
+def test_shrink_hysteresis_logic():
+    """Shrink-back decision logic without stepping (the stepped
+    integration version is test_capacity_shrinks_back_after_transient,
+    slow lane — interpret-mode K=16 compiles dominate it). The spawn
+    lattice has occupancy 4, so audits see a calm scene: two clean
+    audits reclaim the spare tile, never below the 8-slot floor, and
+    occupancy near the boundary resets the streak (SHRINK_MARGIN)."""
+    from tpufluid.app import FluidApp
+
+    s = SimSettings(particle_count=128, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(3.2, 3.2), cell_capacity=16)
+    app = FluidApp(s, TickParams.default(), neighbor_mode="resident")
+    assert app.settings.cell_capacity == 16
+    app._audit_loss()  # clean audit #1: streak, no shrink yet
+    assert app.settings.cell_capacity == 16
+    app._audit_loss()  # clean audit #2: shrink 16 -> 8
+    assert app.settings.cell_capacity == 8
+    assert app._grid_state.pos_x.shape[1] == 8
+    app._audit_loss()
+    app._audit_loss()  # 8 is the floor
+    assert app.settings.cell_capacity == 8
+    ps, live = resident.to_particles(app._grid_state, app.settings)
+    assert int(live) == 128 and int(app._grid_state.lost) == 0
+
+    # occupancy within SHRINK_MARGIN of the smaller capacity blocks the
+    # shrink (and resets the streak): fake a row at occupancy 7 > 8-2
+    app2 = FluidApp(s, TickParams.default(), neighbor_mode="resident")
+    occ = np.asarray(app2._grid_state.occ_row).copy()
+    occ[len(occ) // 2] = 7
+    app2._grid_state = dataclasses.replace(
+        app2._grid_state, occ_row=jnp.asarray(occ))
+    for _ in range(3):
+        app2._audit_loss()
+    assert app2.settings.cell_capacity == 16
+
+
+@pytest.mark.slow
 def test_capacity_shrinks_back_after_transient():
     """capacity_policy='grow' shrink-back hysteresis: headroom left by a
     transient regrow (slot tiles cost real rebin-output DMA) is

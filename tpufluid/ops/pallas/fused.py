@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -160,7 +161,7 @@ def _pred_rows(px, py, vx, vy, dt, half_x, half_y):
 
 # ----------------------------------------------------------------- rebin
 
-def _rebin_kernel(consts, sc_ref, off_ref, occ_ref, *refs):
+def _rebin_kernel(consts, rowsel_ref, sc_ref, off_ref, occ_ref, *refs):
     """One program per RBLK target rows: pack each row's arrivals from its
     3x3 source neighborhood in deterministic (source row, dx, slot) order.
 
@@ -312,24 +313,76 @@ def _small_out_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _mrow_specs(rblk, rows_tot, k, gx, n_fields):
+def _mrow_specs(rblk, rows_tot, k, gx, n_fields, collapse):
     """Per field, rblk+2 single-row blocks covering world rows
     yb*rblk - 1 .. yb*rblk + rblk (clamped; edge duplicates suppressed by
-    the kernels' row_live masks)."""
-    n_blocks = rows_tot // rblk
+    the kernels' row_live masks).
+
+    Empty-program collapse: the leading scalar-prefetch operand
+    ``rowsel`` (i32[num_programs, rblk+2], see ``_row_sel``) steers every
+    input block of a workless program onto the fixed top row instead —
+    runs of empty programs then present the SAME block index back-to-back
+    and the Pallas pipeline skips their input DMA entirely (the flat
+    ~2 us per-program overhead measured in ROADMAP is mostly uncovered
+    DMA latency; sparse scenes stop paying it for the empty grid). The
+    kernel bodies never read inputs when the row neighborhood is empty
+    (their per-row ``pl.when`` guards), so the trash fetch is sound;
+    outputs and defaults are still written normally. The whole selection
+    is precomputed OUTSIDE the kernel so each index map is ONE SMEM
+    table load — an in-map load+clip+where chain measured ~1.2 us of
+    scalar work per program (a net loss on dense scenes).
+
+    ``collapse=False`` keeps the plain static index arithmetic: the SMEM
+    table loads cost ~0.22 us per program-kernel (measured +0.085 ms/step
+    at 1M across the three kernels) while an empty program saves ~2 us —
+    dense scenes whose grid is mostly occupied lose. ``_collapse_default``
+    gates it statically per scene."""
     specs = []
     for j in range(rblk + 2):
-        def imap(y, j=j):
-            return (jnp.clip(y * rblk + j - 1, 0, rows_tot - 1), 0, 0)
+        def imap(y, rowsel, j=j):
+            if not collapse:
+                return (jnp.clip(y * rblk + j - 1, 0, rows_tot - 1), 0, 0)
+            return (rowsel[y, j], 0, 0)
         for _ in range(n_fields):
             specs.append(pl.BlockSpec((1, k, gx), imap,
                                       memory_space=pltpu.VMEM))
-    del n_blocks
     return specs
 
 
+def _collapse_default(settings):
+    """Static per-scene gate for empty-program collapse (see _mrow_specs).
+
+    Collapse pays when >~11% of row-band programs cover only empty grid
+    rows (saving ~2 us each vs the ~0.22 us/program-kernel SMEM-table
+    tax). Proxy at trace time: the fluid at rest occupies ~N/4 cells
+    (rest occupancy 4 at the reference's h/2 lattice packing,
+    src/main.rs:48-54); if that is under 3/4 of the interior grid, a
+    meaningful band fraction is empty. Env overrides for A/B:
+    TPUFLUID_COLLAPSE=1 forces on, TPUFLUID_NO_COLLAPSE=1 forces off."""
+    if os.environ.get("TPUFLUID_NO_COLLAPSE", ""):
+        return False
+    if os.environ.get("TPUFLUID_COLLAPSE", ""):
+        return True
+    interior = (settings.grid_w - 2) * (settings.grid_h - 2)
+    return settings.particle_count < 3.0 * interior
+
+
+def _row_sel(occ_like, rblk, rows_tot):
+    """i32[Gy/rblk, rblk+2] input-row selection table (see _mrow_specs):
+    row ``rowsel[p, j]`` is what program p's j-th input block fetches —
+    the clamped neighborhood row when any row of the program's block may
+    do work, the fixed top row otherwise. Callers pass occ3 (rebin:
+    arrivals possible) or occ_row (physics: targets present)."""
+    occ = jnp.asarray(occ_like, jnp.int32).reshape(-1, rblk)
+    live = jnp.max(occ, axis=1) > 0  # [P]
+    p = jnp.arange(occ.shape[0], dtype=jnp.int32)
+    j = jnp.arange(rblk + 2, dtype=jnp.int32)
+    rows = jnp.clip(p[:, None] * rblk + j[None, :] - 1, 0, rows_tot - 1)
+    return jnp.where(live[:, None], rows, rows_tot - 1)
+
+
 def _mout_spec(rblk, k, gx):
-    return pl.BlockSpec((rblk, k, gx), lambda y: (y, 0, 0),
+    return pl.BlockSpec((rblk, k, gx), lambda y, rowsel: (y, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -379,14 +432,20 @@ def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
         off_arr = jnp.asarray(row_shift, jnp.int32).reshape(-1)
     fields = (pos_x, pos_y, vel_x, vel_y)
     f32 = jnp.float32
+    occ_arr = jnp.asarray(occ_row, jnp.int32).reshape(-1)
+    collapse = _collapse_default(settings)
     outs = pl.pallas_call(
         kernel,
-        grid=(gy // rblk,),
-        in_specs=[_scalar_spec()] * 3 + _mrow_specs(rblk, gy, k, gx, 4),
-        out_specs=(
-            _mout_spec(rblk, k_out, gx), _mout_spec(rblk, k_out, gx),
-            _mout_spec(rblk, k_out, gx), _mout_spec(rblk, k_out, gx),
-            _small_out_spec(), _small_out_spec(), _small_out_spec(),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(gy // rblk,),
+            in_specs=[_scalar_spec()] * 3
+            + _mrow_specs(rblk, gy, k, gx, 4, collapse),
+            out_specs=(
+                _mout_spec(rblk, k_out, gx), _mout_spec(rblk, k_out, gx),
+                _mout_spec(rblk, k_out, gx), _mout_spec(rblk, k_out, gx),
+                _small_out_spec(), _small_out_spec(), _small_out_spec(),
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((gy, k_out, gx), f32),
@@ -399,14 +458,15 @@ def rebin(pos_x, pos_y, vel_x, vel_y, occ_row, dt, settings,
         ),
         interpret=_interpret(),
         name="sph_rebin_fused",
-    )(dt_arr, off_arr, jnp.asarray(occ_row, jnp.int32).reshape(-1),
+    )(_row_sel(occ3_of(occ_arr), rblk, gy), dt_arr, off_arr, occ_arr,
       *(list(fields) * (rblk + 2)))
     return outs
 
 
 # --------------------------------------------------------------- density
 
-def _density_kernel(consts, sc_ref, wid_ref, occc_ref, occ3_ref, *refs):
+def _density_kernel(consts, rowsel_ref, sc_ref, wid_ref, occc_ref, occ3_ref,
+                    *refs):
     """pres = k*(rho - rho0) and 1/rho per slot (funcs.wgsl:157-203 +
     152-154); RBLK center rows per program (amortizes the flat
     per-program overhead).
@@ -588,24 +648,28 @@ def density(pos_x, pos_y, vel_x, vel_y, occ_row, mass, dt, pressure_constant,
     f32 = jnp.float32
     return pl.pallas_call(
         kernel,
-        grid=(gy // rblk,),
-        in_specs=[_scalar_spec()] * 4 + _mrow_specs(rblk, gy, k, gx, 4),
-        out_specs=(_mout_spec(rblk, k, gx), _mout_spec(rblk, k, gx)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(gy // rblk,),
+            in_specs=[_scalar_spec()] * 4
+            + _mrow_specs(rblk, gy, k, gx, 4, _collapse_default(settings)),
+            out_specs=(_mout_spec(rblk, k, gx), _mout_spec(rblk, k, gx)),
+            scratch_shapes=[pltpu.VMEM((k, gx), f32)] * 3,  # tpx, tpy, acc
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((gy, k, gx), f32),
             jax.ShapeDtypeStruct((gy, k, gx), f32),
         ),
-        scratch_shapes=[pltpu.VMEM((k, gx), f32)] * 3,  # tpx, tpy, acc
         interpret=_interpret(),
         name="sph_density_fused",
-    )(sc, jnp.asarray(wid, jnp.int32), occ_row, occ3,
-      *(list(fields) * (rblk + 2)))
+    )(_row_sel(occ_row, rblk, gy), sc, jnp.asarray(wid, jnp.int32),
+      occ_row, occ3, *(list(fields) * (rblk + 2)))
 
 
 # ----------------------------------------------- forces + integration
 
-def _forces_kernel(consts, flags, sc_ref, frame_ref, wid_ref, occc_ref,
-                   occ3_ref, *refs):
+def _forces_kernel(consts, flags, rowsel_ref, sc_ref, frame_ref, wid_ref,
+                   occc_ref, occ3_ref, *refs):
     """Pressure + viscosity forces (compute.wgsl:160-299) fused with the
     full integration (compute.wgsl:95-155). Outputs the NEW (pos, vel)
     grids (sentinel-preserving). Sub-row slot folding as in
@@ -1264,30 +1328,34 @@ def forces_integrate(pos_x, pos_y, vel_x, vel_y, pres, invr, occ_row,
     occ_row = jnp.asarray(occ_row, jnp.int32).reshape(-1)
     occ3 = occ3_of(occ_row)
     fields = (pos_x, pos_y, vel_x, vel_y, pres, invr)
-    in_specs = ([_scalar_spec()] * 5 + _mrow_specs(rblk, gy, k, gx, 6))
+    in_specs = ([_scalar_spec()] * 5
+                + _mrow_specs(rblk, gy, k, gx, 6, _collapse_default(settings)))
     args = [sc, fr, jnp.asarray(wid, jnp.int32), occ_row, occ3,
             *(list(fields) * (rblk + 2))]
     if ff_cells is not None:
         ffx, ffy = ff_cells
         args += [ffx.reshape(gy, 1, gx), ffy.reshape(gy, 1, gx)]
-        ff_spec = pl.BlockSpec((rblk, 1, gx), lambda y: (y, 0, 0),
+        ff_spec = pl.BlockSpec((rblk, 1, gx), lambda y, rowsel: (y, 0, 0),
                                memory_space=pltpu.VMEM)
         in_specs += [ff_spec, ff_spec]
     f32 = jnp.float32
     return pl.pallas_call(
         kernel,
-        grid=(gy // rblk,),
-        in_specs=in_specs,
-        out_specs=tuple(_mout_spec(rblk, k, gx) for _ in range(4)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(gy // rblk,),
+            in_specs=in_specs,
+            out_specs=tuple(_mout_spec(rblk, k, gx) for _ in range(4)),
+            scratch_shapes=(
+                [pltpu.VMEM((k, gx), f32)] * 4      # sfx, sfy, sgx, sgy
+                + [pltpu.VMEM((k, gx), jnp.uint32)]  # scc
+                + [pltpu.VMEM((k, gx), f32)] * 4    # tpx, tpy, d0x, d0y
+                + ([pltpu.VMEM((k, gx), f32)] * 5   # cgx/cgy/clap/stx/sty
+                   if surface_tension else [])
+            ),
+        ),
         out_shape=tuple(
             jax.ShapeDtypeStruct((gy, k, gx), f32) for _ in range(4)),
-        scratch_shapes=(
-            [pltpu.VMEM((k, gx), f32)] * 4      # sfx, sfy, sgx, sgy
-            + [pltpu.VMEM((k, gx), jnp.uint32)]  # scc
-            + [pltpu.VMEM((k, gx), f32)] * 4    # tpx, tpy, d0x, d0y
-            + ([pltpu.VMEM((k, gx), f32)] * 5   # cgx, cgy, clap, stx, sty
-               if surface_tension else [])
-        ),
         interpret=_interpret(),
         name="sph_forces_integrate_fused",
-    )(*args)
+    )(_row_sel(occ_row, rblk, gy), *args)

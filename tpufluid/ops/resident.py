@@ -262,6 +262,13 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
                    n_worlds: int = 1):
     """Jitted resident step: ``step(gs, params[, forcefield]) -> GridState``.
 
+    Memoized on all (hashable) arguments: FluidApp's capacity
+    regrow/shrink hysteresis rebuilds steps as it moves between
+    capacities, and without the cache every move back to an
+    already-compiled capacity re-traced and re-compiled the kernels
+    (jax.jit caches per function INSTANCE; each call here used to mint a
+    fresh closure).
+
     CAPACITY SIZING MATTERS under gravity: the EOS p = k*rho makes a fluid
     column of height H compress ~exp(g*H/k) at the floor; cell_capacity
     must cover rest_occupancy * that factor or mass is shed (counted in
@@ -269,6 +276,11 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
     """
     if x_boundary not in ("bounce", "wrap"):
         raise ValueError(f"unknown x_boundary {x_boundary!r}")
+    key = (settings, far_capacity, x_boundary, has_force_field,
+           surface_tension, adaptive_subsampling, n_worlds)
+    hit = _STEP_CACHE.get(key)
+    if hit is not None:
+        return hit
     settings = pad_capacity(settings)
     gxp = _gxp(settings)
     k = settings.cell_capacity
@@ -469,11 +481,25 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
         )
 
     if has_force_field:
-        return jax.jit(step)
-    return jax.jit(lambda gs, params: step(gs, params, None))
+        fn = jax.jit(step)
+    else:
+        fn = jax.jit(lambda gs, params: step(gs, params, None))
+    _STEP_CACHE[key] = fn
+    return fn
+
+
+_STEP_CACHE: dict = {}
+_MULTI_STEP_CACHE: dict = {}
 
 
 def make_grid_multi_step(settings: SimSettings, n_steps: int, **kw):
+    """``run(gs, params[, forcefield])``: ``n_steps`` resident steps under
+    one ``lax.scan`` (one device dispatch). Memoized like
+    ``make_grid_step``."""
+    key = (settings, n_steps, tuple(sorted(kw.items())))
+    hit = _MULTI_STEP_CACHE.get(key)
+    if hit is not None:
+        return hit
     has_ff = kw.get("has_force_field", False)
     step = make_grid_step(settings, **kw)
 
@@ -484,14 +510,14 @@ def make_grid_multi_step(settings: SimSettings, n_steps: int, **kw):
                 return step(s, params, forcefield), None
             out, _ = lax.scan(body, gs, None, length=n_steps)
             return out
-        return run
-
-    @jax.jit
-    def run(gs, params):
-        def body(s, _):
-            return step(s, params), None
-        out, _ = lax.scan(body, gs, None, length=n_steps)
-        return out
+    else:
+        @jax.jit
+        def run(gs, params):
+            def body(s, _):
+                return step(s, params), None
+            out, _ = lax.scan(body, gs, None, length=n_steps)
+            return out
+    _MULTI_STEP_CACHE[key] = run
     return run
 
 
