@@ -352,19 +352,23 @@ def _mrow_specs(rblk, rows_tot, k, gx, n_fields, collapse):
 def _collapse_default(settings):
     """Static per-scene gate for empty-program collapse (see _mrow_specs).
 
-    Collapse pays when >~11% of row-band programs cover only empty grid
-    rows (saving ~2 us each vs the ~0.22 us/program-kernel SMEM-table
-    tax). Proxy at trace time: the fluid at rest occupies ~N/4 cells
-    (rest occupancy 4 at the reference's h/2 lattice packing,
-    src/main.rs:48-54); if that is under 3/4 of the interior grid, a
-    meaningful band fraction is empty. Env overrides for A/B:
-    TPUFLUID_COLLAPSE=1 forces on, TPUFLUID_NO_COLLAPSE=1 forces off."""
+    The SMEM-table tax (~0.22 us/program-kernel, +0.085 ms measured at
+    1M across the three kernels) is paid by EVERY program; the ~2 us
+    DMA-skip saving only by fully-empty ones — and the saving shrinks
+    with grid width (smaller row DMAs). Measured on v5e (step ms,
+    off -> on): 4k dam-break (N/interior = 0.64) 0.207 -> 0.153 WIN;
+    64k (0.93) 0.721 -> 0.785 LOSS despite ~half its row bands being
+    empty; 256k/1M (>= 3.7) lose by the tax alone. The trace-time proxy
+    is therefore conservative: enable only for genuinely tiny/sparse
+    scenes, N < 0.75 * interior cells (between the two measured points).
+    Env overrides for A/B: TPUFLUID_COLLAPSE=1 forces on,
+    TPUFLUID_NO_COLLAPSE=1 forces off."""
     if os.environ.get("TPUFLUID_NO_COLLAPSE", ""):
         return False
     if os.environ.get("TPUFLUID_COLLAPSE", ""):
         return True
     interior = (settings.grid_w - 2) * (settings.grid_h - 2)
-    return settings.particle_count < 3.0 * interior
+    return settings.particle_count < 0.75 * interior
 
 
 def _row_sel(occ_like, rblk, rows_tot):
