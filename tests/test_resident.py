@@ -71,7 +71,7 @@ def test_far_movers_preserved():
     step = resident.make_grid_step(s)
     params = TickParams.default(pressure_constant=0.0,
                                 viscosity_coefficient=0.0)
-    for _ in range(3):
+    for _ in range(6):
         gs = step(gs, params)
     ps, live = resident.to_particles(gs, s)
     assert int(live) == 16
@@ -126,7 +126,7 @@ def test_resident_obstacle_matches_dense_on_cell_aligned_field():
     gstep = resident.make_grid_step(s, has_force_field=True)
     ref = init_state(s)
     rstep = make_step(s, neighbor_mode="dense", has_force_field=True)
-    for _ in range(3):
+    for _ in range(6):
         gs = gstep(gs, params, ff)
         ref = rstep(ref, params, ff)
     assert int(gs.lost) == 0
@@ -300,7 +300,7 @@ def test_shrink_hysteresis_logic():
     occ[len(occ) // 2] = 7
     app2._grid_state = dataclasses.replace(
         app2._grid_state, occ_row=jnp.asarray(occ))
-    for _ in range(3):
+    for _ in range(6):
         app2._audit_loss()
     assert app2.settings.cell_capacity == 16
 
@@ -424,13 +424,14 @@ def test_capacity_sliced_dispatch_matches_dense():
     from scipy.spatial import cKDTree
 
     n = 64
-    # grid kept small (4.2/0.2 -> 23 rows): interpret-mode cost scales
-    # with rows x the TWO kv switch branches this test exists to cover
+    # grid kept small (3.4/0.2 -> 19 rows; compile cost of the K=16
+    # interpret kernels dominates this test and scales with rows)
     s = SimSettings(particle_count=n, particle_spacing=0.1,
-                    smoothing_radius=0.2, size=(4.2, 4.2), cell_capacity=16)
+                    smoothing_radius=0.2, size=(3.4, 3.4), cell_capacity=16)
     rng = np.random.default_rng(3)
-    # 12 particles piled into one cell (occ 12 -> kv=16 branch), the rest
-    # spread out (occ <= 4); over steps the pile disperses -> kv drops
+    # 12 particles piled into one cell (occ 12 > one 8-slot sublane
+    # tile), the rest spread out (occ <= 4); the pile disperses over the
+    # steps so occupancy crosses back under the tile boundary
     pos = np.zeros((n, 2), np.float32)
     pos[:12] = rng.uniform(-0.05, 0.05, (12, 2)) + [1.0, 1.0]
     pos[12:] = rng.uniform(-1.5, 1.5, (n - 12, 2))

@@ -65,7 +65,7 @@ def test_sharded_dense_matches_single_chip_dense(eight_devices):
     sh_step = make_sharded_step(spec, neighbor_mode="dense")
     single_state = init_state(s)
     single_step = make_step(s, neighbor_mode="dense")
-    for i in range(4):
+    for i in range(2):
         sh_state, stats = sh_step(sh_state, params)
         single_state = single_step(single_state, params)
     assert int(np.asarray(stats["n_valid"]).sum()) == s.particle_count
