@@ -488,6 +488,10 @@ def run_parity(steps_short=10, steps_long=200, n=16384, out_path="PARITY.json"):
           f" rel={rel:.3f}")
 
     report["ok"] = ok_all
+    # UTC stamp so the artifact's freshness is checkable (it is
+    # regenerated by every headline `python bench.py` run)
+    report["generated_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                            time.gmtime())
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({"metric": "engine_parity", "value": int(ok_all),
