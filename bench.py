@@ -243,9 +243,16 @@ def run_configs(which=None, out=sys.stdout, mode="resident"):
         from tpufluid.params import TickParams
         from tpufluid.ops import resident as res
         B = 8
+        # per-world geometry mirrors scene_1m's lane discipline: 512-lane
+        # (zero-pad) grid width, eighth-cell box offset, spawn 1008
+        # columns -> true rest occupancy 4. The round-3-early 38x38 box
+        # compiled to a 192-of-256-lane grid (25% dead lanes) and 3x the
+        # row count of the single-scene world; measured 4.41 -> 2.86
+        # ms/step from geometry alone.
         bsettings = SimSettings(
             particle_count=131072, particle_spacing=0.1,
-            smoothing_radius=0.2, size=(38.0, 38.0), cell_capacity=8)
+            smoothing_radius=0.2, size=(101.95, 13.1), cell_capacity=8,
+            spawn_columns=1008)
         plist = [
             TickParams.default(gravity=(0.0, -g), viscosity_coefficient=v)
             for g, v in zip(np.linspace(0.0, 2.0, B),

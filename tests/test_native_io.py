@@ -168,3 +168,73 @@ def test_save_mp4_gate():
     else:
         with _pytest.raises(RuntimeError, match="ffmpeg"):
             ioutils.save_mp4("/tmp/t.mp4", frames)
+
+
+@pytest.mark.slow
+def test_app_run_bursts_match_tick_loop():
+    """FluidApp.run advances in lax.scan bursts; semantics must match
+    tick() looped (modulo the documented scan-fusion last-ulp wiggle)
+    and the audit bookkeeping must count burst ticks. Slow lane: the
+    scan-of-resident-kernels compile costs ~90 s interpreted on CPU
+    (the fast lane covers run()'s loop logic via the dense engine and
+    the resident bookkeeping via max_burst=1 below)."""
+    from tpufluid import SimSettings, TickParams
+    from tpufluid.app import FluidApp
+
+    s = SimSettings(particle_count=144, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(6.0, 6.0), cell_capacity=8)
+    p = TickParams.default(gravity=(0.0, -3.0))
+    a = FluidApp(s, params=p, neighbor_mode="resident",
+                 capacity_policy="fixed")
+    b = FluidApp(s, params=p, neighbor_mode="resident",
+                 capacity_policy="fixed")
+    for _ in range(6):
+        a.tick()
+    b.run(6, max_burst=4)  # bursts 4+1+1 from the size menu
+    np.testing.assert_allclose(np.asarray(a.state.position),
+                               np.asarray(b.state.position), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.state.velocity),
+                               np.asarray(b.state.velocity), atol=1e-4)
+    assert int(b.state.tick) == 6
+    assert b._ticks_since_audit == 6
+    assert b.metrics()["lost_particles"] == 0
+
+
+def test_app_run_resident_bookkeeping():
+    """run(max_burst=1) shares tick()'s memoized step (no new compile)
+    and must keep the audit counters and parity with tick() exactly."""
+    from tpufluid import SimSettings, TickParams
+    from tpufluid.app import FluidApp
+
+    s = SimSettings(particle_count=144, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(6.0, 6.0), cell_capacity=8)
+    p = TickParams.default(gravity=(0.0, -3.0))
+    a = FluidApp(s, params=p, neighbor_mode="resident",
+                 capacity_policy="fixed")
+    b = FluidApp(s, params=p, neighbor_mode="resident",
+                 capacity_policy="fixed")
+    for _ in range(4):
+        a.tick()
+    b.run(4, max_burst=1)
+    np.testing.assert_array_equal(np.asarray(a.state.position),
+                                  np.asarray(b.state.position))
+    assert int(b.state.tick) == 4
+    assert b._ticks_since_audit == 4
+
+
+def test_app_run_bursts_dense_engine():
+    """The [N]-engine path of FluidApp.run (memoized make_multi_step)."""
+    from tpufluid import SimSettings, TickParams
+    from tpufluid.app import FluidApp
+
+    s = SimSettings(particle_count=64, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(6.0, 6.0), cell_capacity=16)
+    p = TickParams.default(gravity=(0.0, -2.0))
+    a = FluidApp(s, params=p, neighbor_mode="dense")
+    b = FluidApp(s, params=p, neighbor_mode="dense")
+    for _ in range(5):
+        a.tick()
+    b.run(5, max_burst=4)
+    np.testing.assert_allclose(np.asarray(a.state.position),
+                               np.asarray(b.state.position), atol=1e-6)
+    assert int(b.state.tick) == 5

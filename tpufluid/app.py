@@ -21,7 +21,7 @@ import numpy as np
 
 from .params import SimSettings, TickParams
 from .state import init_state
-from .step import make_step
+from .step import make_step, make_multi_step
 from .ops import forcefield as ff
 from .ops import render as renderops
 from .utils import io as ioutils
@@ -307,6 +307,76 @@ class FluidApp:
             self.state = self._step(self.state, self.params)
         self.timer.lap(self._state)
 
+    # burst sizes used by run(): a small fixed menu bounds the number of
+    # lax.scan programs ever compiled per (settings, flags) combination
+    _BURST_SIZES = (64, 16, 4, 1)
+
+    def _dispatch_resident_burst(self, b: int) -> None:
+        """One scan burst of ``b`` resident ticks (no audit bookkeeping)."""
+        if b == 1:
+            self._raw_resident_step()
+            return
+        run_fn = self._residentops.make_grid_multi_step(
+            self.settings, b, has_force_field=self._has_objects,
+            **self._resident_kw)
+        if self._has_objects:
+            self._grid_state = run_fn(
+                self._grid_state, self.params, self._forcefield)
+        else:
+            self._grid_state = run_fn(self._grid_state, self.params)
+
+    def run(self, n_steps: int, max_burst: int = 64) -> None:
+        """Advance ``n_steps`` ticks in ``lax.scan`` bursts — one device
+        dispatch per burst instead of one per tick.
+
+        This is the reference's per-frame tick burst
+        (src/main.rs:137-147) without the N encoder submissions; over a
+        remote-device tunnel, where each dispatch costs milliseconds, it
+        is the difference between dispatch-bound and compute-bound runs.
+
+        Equivalent to ``tick()`` in a loop, with two burst-granularity
+        contracts (the same ones the grow policy's regrow replay already
+        documents): live tuning applies at burst boundaries, and the
+        runtime mass-loss audit still runs every <= LOSS_CHECK_EVERY
+        ticks, aligned to a burst boundary.
+        """
+        if n_steps <= 0:
+            return
+        if max_burst < 1:
+            raise ValueError("max_burst must be >= 1")
+        remaining = n_steps
+        if not self._resident:
+            while remaining:
+                b = next(s for s in self._BURST_SIZES
+                         if s <= max_burst and s <= remaining)
+                run_fn = make_multi_step(
+                    self.settings, b, has_force_field=self._has_objects,
+                    **self._step_kw)
+                if self._has_objects:
+                    self.state = run_fn(
+                        self.state, self.params, self._forcefield)
+                else:
+                    self.state = run_fn(self.state, self.params)
+                self.timer.laps(self._state, b)
+                remaining -= b
+            return
+        while remaining:
+            room = self.LOSS_CHECK_EVERY - self._ticks_since_audit
+            b = next(s for s in self._BURST_SIZES
+                     if s <= max_burst and s <= remaining
+                     and s <= max(room, 1))
+            self._dispatch_resident_burst(b)
+            self._state_dirty = True
+            self.timer.laps(self._grid_state, b)
+            self._ticks_since_snapshot = getattr(
+                self, "_ticks_since_snapshot", 0) + b
+            self._ticks_since_audit = getattr(
+                self, "_ticks_since_audit", 0) + b
+            remaining -= b
+            if self._ticks_since_audit >= self.LOSS_CHECK_EVERY:
+                self._ticks_since_audit = 0
+                self._audit_loss()
+
     def _audit_loss(self) -> None:
         """Runtime mass-loss audit (one device->host sync): the static
         advisor models equilibrium + impact; this is the backstop for
@@ -462,8 +532,7 @@ class FluidApp:
         self.sim_state = SimState.RENDER
         for i in range(frames):
             self.advance_video_frame()  # one video frame per output frame
-            for _ in range(self.TICKS_PER_RENDER_FRAME):
-                self.tick()
+            self.run(self.TICKS_PER_RENDER_FRAME)
             frame = self.render_frame(width, height, mode=mode)
             yield np.asarray(renderops.to_rgba8(frame))
             if progress:

@@ -153,11 +153,14 @@ def main(argv=None):
     if args.cmd == "run":
         app.sim_state = app.sim_state.RUNNING
         t0 = time.perf_counter()
-        for i in range(args.steps):
-            app.tick()
-            if (i + 1) % args.report_every == 0 and app.timer.last_rate:
+        done = 0
+        while done < args.steps:
+            chunk = min(args.report_every, args.steps - done)
+            app.run(chunk)  # scan bursts: one dispatch per <=64 ticks
+            done += chunk
+            if app.timer.last_rate:
                 rate = app.timer.last_rate
-                print(f"step {i+1}/{args.steps}  "
+                print(f"step {done}/{args.steps}  "
                       f"{rate:.1f} steps/s  "
                       f"{rate * app.settings.particle_count:.3e} particle-steps/s")
         import jax

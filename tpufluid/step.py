@@ -324,9 +324,15 @@ def make_step(settings: SimSettings, *, neighbor_mode: str = "grid",
     return jax.jit(lambda state, params: step(state, params, None))
 
 
+_MULTI_STEP_CACHE: dict = {}
+
+
 def make_multi_step(settings: SimSettings, n_steps: int, **kw):
     """``run(state, params[, forcefield]) -> state`` advancing ``n_steps``
-    ticks in ONE device program via ``lax.scan``.
+    ticks in ONE device program via ``lax.scan``. Memoized on all
+    (hashable) arguments, like ops.resident.make_grid_multi_step —
+    FluidApp.run calls this per burst and must not mint a fresh jit
+    cache entry each time.
 
     This is the TPU replacement for the reference's per-frame tick burst
     (src/main.rs:137-147): instead of N host-dispatched encoder submissions,
@@ -334,6 +340,10 @@ def make_multi_step(settings: SimSettings, n_steps: int, **kw):
     matters doubly over a remote-device tunnel where each dispatch costs
     milliseconds.
     """
+    key = (settings, n_steps, tuple(sorted(kw.items())))
+    hit = _MULTI_STEP_CACHE.get(key)
+    if hit is not None:
+        return hit
     has_ff = kw.get("has_force_field", False)
     # make_step returns a jitted fn; calling it inside scan is fine (the
     # inner jit inlines under trace).
@@ -346,12 +356,12 @@ def make_multi_step(settings: SimSettings, n_steps: int, **kw):
                 return step(s, params, forcefield), None
             out, _ = jax.lax.scan(body, state, None, length=n_steps)
             return out
-        return run
-
-    @jax.jit
-    def run(state, params):
-        def body(s, _):
-            return step(s, params), None
-        out, _ = jax.lax.scan(body, state, None, length=n_steps)
-        return out
+    else:
+        @jax.jit
+        def run(state, params):
+            def body(s, _):
+                return step(s, params), None
+            out, _ = jax.lax.scan(body, state, None, length=n_steps)
+            return out
+    _MULTI_STEP_CACHE[key] = run
     return run

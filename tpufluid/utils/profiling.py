@@ -28,16 +28,22 @@ class StepTimer:
     last_rate: float = field(default=0.0)
 
     def lap(self, state) -> Optional[float]:
+        return self.laps(state, 1)
+
+    def laps(self, state, n: int) -> Optional[float]:
+        """Account ``n`` steps delivered by one dispatch (burst runs —
+        FluidApp.run — advance many ticks per device round-trip)."""
         if self._t0 is None:
             jax.block_until_ready(state)
             self._t0 = time.perf_counter()
             return None
-        self._count += 1
-        if self._count % self.report_every:
+        self._count += n
+        if self._count < self.report_every:
             return None
         jax.block_until_ready(state)
         now = time.perf_counter()
-        self.last_rate = self.report_every / (now - self._t0)
+        self.last_rate = self._count / (now - self._t0)
+        self._count = 0
         self._t0 = now
         return self.last_rate
 
