@@ -455,3 +455,42 @@ def test_capacity_sliced_dispatch_matches_dense():
     d, _ = cKDTree(np.asarray(ref.position)).query(
         np.asarray(ps.position)[:n])
     assert d.max() < 1e-4
+
+
+@pytest.mark.parametrize("st,ad,xb", [
+    (False, False, "bounce"),
+    (True, True, "wrap"),
+    pytest.param(True, False, "bounce", marks=pytest.mark.slow),
+    pytest.param(False, True, "wrap", marks=pytest.mark.slow),
+])
+def test_physics_matches_split_kernels(st, ad, xb):
+    """The single fused physics kernel (density + forces + integration,
+    fused._physics_kernel) is BITWISE equal to split density() +
+    forces_integrate() across every variant flag — the two paths share
+    the pair-math helpers and iteration orders by construction, and the
+    resident engine treats them as interchangeable
+    (TPUFLUID_SPLIT_PHYSICS)."""
+    from tpufluid.ops.pallas import fused
+
+    s = SimSettings(particle_count=512, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(6.0, 6.0), cell_capacity=8)
+    params = TickParams.default(gravity=(0.0, -9.8))
+    gs = resident.init_grid_state(s)
+    step = resident.make_grid_step(s)
+    for _ in range(3):
+        gs = step(gs, params)
+    rblk = resident.rows_per_program(s)
+    px, py, vx, vy, occ = gs.pos_x, gs.pos_y, gs.vel_x, gs.vel_y, gs.occ_row
+    frame = (gs.tick + 1).astype(jnp.uint32)
+    pres, invr = fused.density(
+        px, py, vx, vy, occ, params.mass, params.delta,
+        params.pressure_constant, params.rest_density, s,
+        rows_per_program=rblk)
+    ref = fused.forces_integrate(
+        px, py, vx, vy, pres, invr, occ, params, s, frame, x_boundary=xb,
+        surface_tension=st, adaptive_subsampling=ad, rows_per_program=rblk)
+    new = fused.physics(
+        px, py, vx, vy, occ, params, s, frame, x_boundary=xb,
+        surface_tension=st, adaptive_subsampling=ad, rows_per_program=rblk)
+    for a, b, nm in zip(ref, new, ("pos_x", "pos_y", "vel_x", "vel_y")):
+        assert np.array_equal(np.asarray(a), np.asarray(b)), nm

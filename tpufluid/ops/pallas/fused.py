@@ -313,10 +313,11 @@ def _small_out_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _mrow_specs(rblk, rows_tot, k, gx, n_fields, collapse):
-    """Per field, rblk+2 single-row blocks covering world rows
-    yb*rblk - 1 .. yb*rblk + rblk (clamped; edge duplicates suppressed by
-    the kernels' row_live masks).
+def _mrow_specs(rblk, rows_tot, k, gx, n_fields, collapse, halo=1):
+    """Per field, rblk+2*halo single-row blocks covering world rows
+    yb*rblk - halo .. yb*rblk + rblk + halo - 1 (clamped; edge duplicates
+    suppressed by the kernels' row_live masks or land on the empty
+    sentinel ring).
 
     Empty-program collapse: the leading scalar-prefetch operand
     ``rowsel`` (i32[num_programs, rblk+2], see ``_row_sel``) steers every
@@ -338,10 +339,11 @@ def _mrow_specs(rblk, rows_tot, k, gx, n_fields, collapse):
     dense scenes whose grid is mostly occupied lose. ``_collapse_default``
     gates it statically per scene."""
     specs = []
-    for j in range(rblk + 2):
+    for j in range(rblk + 2 * halo):
         def imap(y, rowsel, j=j):
             if not collapse:
-                return (jnp.clip(y * rblk + j - 1, 0, rows_tot - 1), 0, 0)
+                return (jnp.clip(y * rblk + j - halo, 0, rows_tot - 1),
+                        0, 0)
             return (rowsel[y, j], 0, 0)
         for _ in range(n_fields):
             specs.append(pl.BlockSpec((1, k, gx), imap,
@@ -371,17 +373,18 @@ def _collapse_default(settings):
     return settings.particle_count < 0.75 * interior
 
 
-def _row_sel(occ_like, rblk, rows_tot):
-    """i32[Gy/rblk, rblk+2] input-row selection table (see _mrow_specs):
-    row ``rowsel[p, j]`` is what program p's j-th input block fetches —
-    the clamped neighborhood row when any row of the program's block may
-    do work, the fixed top row otherwise. Callers pass occ3 (rebin:
-    arrivals possible) or occ_row (physics: targets present)."""
+def _row_sel(occ_like, rblk, rows_tot, halo=1):
+    """i32[Gy/rblk, rblk+2*halo] input-row selection table (see
+    _mrow_specs): row ``rowsel[p, j]`` is what program p's j-th input
+    block fetches — the clamped neighborhood row when any row of the
+    program's block may do work, the fixed top row otherwise. Callers
+    pass occ3 (rebin: arrivals possible) or occ_row (physics: targets
+    present)."""
     occ = jnp.asarray(occ_like, jnp.int32).reshape(-1, rblk)
     live = jnp.max(occ, axis=1) > 0  # [P]
     p = jnp.arange(occ.shape[0], dtype=jnp.int32)
-    j = jnp.arange(rblk + 2, dtype=jnp.int32)
-    rows = jnp.clip(p[:, None] * rblk + j[None, :] - 1, 0, rows_tot - 1)
+    j = jnp.arange(rblk + 2 * halo, dtype=jnp.int32)
+    rows = jnp.clip(p[:, None] * rblk + j[None, :] - halo, 0, rows_tot - 1)
     return jnp.where(live[:, None], rows, rows_tot - 1)
 
 
@@ -874,10 +877,14 @@ def _forces_one_row(i, y, rows, consts, flags, sc_ref, frame, wid_ref,
 
             def tgt_body(t, c2):
                 to = _sub_off(t, sub)
+                tsl = pl.ds(to, sub)
+                center = (tpx_ref[tsl], tpy_ref[tsl],
+                          rows[1][2][0, tsl], rows[1][3][0, tsl],
+                          rows[1][4][0, tsl], rows[1][5][0, tsl])
                 _forces_cand_block(
-                    rows, rolled, o, to, sub, occ3,
+                    center, rolled, o, to, sub, occ3,
                     consts, flags, sc_ref, w,
-                    tpx_ref, tpy_ref, d0x_ref, d0y_ref,
+                    d0x_ref, d0y_ref,
                     sfx_ref, sfy_ref, sgx_ref, sgy_ref,
                     scc_ref, cgx_ref, cgy_ref, clap_ref,
                     stx_ref, sty_ref,
@@ -895,22 +902,30 @@ def _forces_one_row(i, y, rows, consts, flags, sc_ref, frame, wid_ref,
         # target sub-block ----
         def int_body(t, carry):
             to = _sub_off(t, sub)
+            tsl = pl.ds(to, sub)
+            center = (rows[1][0][0, tsl], rows[1][1][0, tsl],
+                      rows[1][2][0, tsl], rows[1][3][0, tsl],
+                      rows[1][5][0, tsl], tpx_ref[tsl], tpy_ref[tsl])
             _forces_integrate_sub(
-                i, to, sub, rows, consts, flags, sc_ref, w, frame,
+                i, to, sub, center, consts, flags, sc_ref, w, frame,
                 ffx_ref, ffy_ref, npx_ref, npy_ref, nvx_ref, nvy_ref,
                 sfx_ref, sfy_ref, sgx_ref, sgy_ref,
-                tpx_ref, tpy_ref, cgx_ref, cgy_ref, clap_ref)
+                cgx_ref, cgy_ref, clap_ref)
             return carry
 
         _sub_loop(nt, int_body, static1)
 
 
-def _forces_integrate_sub(i, to, sub, rows, consts, flags, sc_ref, w,
+def _forces_integrate_sub(i, to, sub, center, consts, flags, sc_ref, w,
                           frame, ffx_ref, ffy_ref,
                           npx_ref, npy_ref, nvx_ref, nvy_ref,
                           sfx_ref, sfy_ref, sgx_ref, sgy_ref,
-                          tpx_ref, tpy_ref, cgx_ref, cgy_ref, clap_ref):
-    """Fused integration for one target sub-block (see _forces_one_row)."""
+                          cgx_ref, cgy_ref, clap_ref):
+    """Fused integration for one target sub-block (see _forces_one_row).
+
+    ``center`` = (pos_x0, pos_y0, vx0, vy0, invr0, px0, py0) pre-sliced
+    [sub, gx] target-row arrays (raw position/velocity, 1/rho, predicted
+    position)."""
     (h, h2, sqr_radius, spiky_norm, visc_norm, k, gx, rblk,
      rows_tot) = consts
     (wrap_x, has_ff, surface_tension, adaptive) = flags
@@ -929,13 +944,7 @@ def _forces_integrate_sub(i, to, sub, rows, consts, flags, sc_ref, w,
     ff_sx = sc_ref[w, 12]
     ff_sy = sc_ref[w, 13]
     tlo = pl.ds(to, sub)
-    pos_x0 = rows[1][0][0, tlo]
-    pos_y0 = rows[1][1][0, tlo]
-    vx0 = rows[1][2][0, tlo]
-    vy0 = rows[1][3][0, tlo]
-    invr0 = rows[1][5][0, tlo]
-    px0 = tpx_ref[tlo]
-    py0 = tpy_ref[tlo]
+    pos_x0, pos_y0, vx0, vy0, invr0, px0, py0 = center
     visc_mu = jnp.float32(visc_norm) * mu
     accel_x = sfx_ref[tlo] + sgx_ref[tlo] * visc_mu
     accel_y = sfy_ref[tlo] + sgy_ref[tlo] * visc_mu
@@ -1031,16 +1040,19 @@ def _forces_integrate_sub(i, to, sub, rows, consts, flags, sc_ref, w,
     nvy_ref[i, tlo] = jnp.where(live, vy, 0.0)
 
 
-def _forces_cand_block(rows, rolled, o, to, sub, occ3, consts, flags,
-                       sc_ref, w, tpx_ref, tpy_ref, d0x_ref, d0y_ref,
+def _forces_cand_block(center, rolled, o, to, sub, occ3, consts, flags,
+                       sc_ref, w, d0x_ref, d0y_ref,
                        sfx_ref, sfy_ref, sgx_ref, sgy_ref, scc_ref,
                        cgx_ref, cgy_ref, clap_ref, stx_ref, sty_ref,
                        st_grad_norm, st_lap_norm,
                        _c_neg_inv_2h3, _c_inv_h2, _c_half_h):
     """Candidate sub-block [o:o+sub]'s 9-block contribution to one target
     sub-block [to:to+sub] (tile-aligned offsets; static 0 in the K == sub
-    specialization). Each candidate slot is GUARDED by ``kpg < occ3`` and
-    accumulates its 9 blocks in registers with one scratch RMW per
+    specialization). ``center`` = (px0, py0, vx0, vy0, p_self, invr_self)
+    pre-sliced [sub, gx] target-row arrays (callers differ: the split
+    forces kernel slices input refs, the fused physics kernel slices its
+    density scratch). Each candidate slot is GUARDED by ``kpg < occ3``
+    and accumulates its 9 blocks in registers with one scratch RMW per
     candidate — at mean occupancy ~4 of 8 padded slots this skips ~half
     the pair work (unguarded register accumulation across the whole
     sub-block was measured 1.9 -> 2.5 ms on the 1M forces kernel; the RMW
@@ -1049,13 +1061,9 @@ def _forces_cand_block(rows, rolled, o, to, sub, occ3, consts, flags,
      rows_tot) = consts
     (wrap_x, has_ff, surface_tension, adaptive) = flags
     tslice = pl.ds(to, sub)
-    px0 = tpx_ref[tslice]
-    py0 = tpy_ref[tslice]
-    vx0 = rows[1][2][0, tslice]
-    vy0 = rows[1][3][0, tslice]
-    p_self = rows[1][4][0, tslice]
+    px0, py0, vx0, vy0, p_self, invr_self = center
     k_self = (jax.lax.broadcasted_iota(jnp.int32, (sub, gx), 0) + to)
-    rho_self = 1.0 / rows[1][5][0, tslice] if adaptive else None
+    rho_self = 1.0 / invr_self if adaptive else None
     d0x_t = d0x_ref[tslice]
     d0y_t = d0y_ref[tslice]
     if surface_tension:
@@ -1273,6 +1281,422 @@ def _forces_one_cand(kp, kpg, rolled, consts, flags, sc_ref, w,
             gy_ = gy_ + (nvy - vy0) * wv
     return (fx, fy, gx_, gy_, scc_run,
             (cg_x, cg_y, cl_) if surface_tension else None)
+
+
+# ------------------------------- fused density + forces (physics kernel)
+
+def _physics_kernel(consts, flags, rowsel_ref, sc_ref, frame_ref, wid_ref,
+                    occc_ref, occ3_ref, *refs):
+    """ONE kernel for the whole physics half of the step: density ->
+    (pressure, 1/rho) in VMEM scratch, then pressure+viscosity forces
+    fused with the full integration (compute.wgsl:59-299 + 95-155).
+
+    vs the split density()/forces_integrate() kernels this reads the 4
+    (pos, vel) fields ONCE per program (with a 2-row halo: forces of row
+    y needs density of rows y±1, which needs predictions of rows y±2),
+    computes every row's predictions ONCE into scratch (the split
+    kernels re-derived them 2-3x), never materializes pres/invr to HBM,
+    and pays ONE per-program prologue instead of two. Cost: density pair
+    work for the ±1 halo rows is recomputed by adjacent programs —
+    (rblk+2)/rblk of standalone.
+
+    The pair math is shared with the split kernels (_forces_cand_block /
+    _forces_integrate_sub) and per-phase iteration orders are identical,
+    so outputs are BITWISE equal to split density() + forces_integrate()
+    (tests/test_resident.py::test_physics_matches_split_kernels).
+
+    Phases per program (rblk center rows, world rows yb*rblk + [0, rblk)):
+      P: predictions for rblk+4 rows     -> prx/pry scratch
+      D: density for rblk+2 rows         -> pres/invr scratch
+      F: forces + integration for the rblk center rows -> outputs
+    """
+    (h, h2, sqr_radius, spiky_norm, visc_norm, dens_norm, k, gx, rblk,
+     rows_tot) = consts
+    consts9 = (h, h2, sqr_radius, spiky_norm, visc_norm, k, gx, rblk,
+               rows_tot)
+    (wrap_x, has_ff, surface_tension, adaptive) = flags
+    nrows = rblk + 4
+    rowrefs = [refs[j * 4:(j + 1) * 4] for j in range(nrows)]
+    idx = 4 * nrows
+    if has_ff:
+        ffx_ref, ffy_ref = refs[idx:idx + 2]
+        idx += 2
+    npx_ref, npy_ref, nvx_ref, nvy_ref = refs[idx:idx + 4]
+    s = idx + 4
+    prx_ref, pry_ref = refs[s:s + 2]        # [rblk+4, K, Gx]
+    pres_ref, invr_ref = refs[s + 2:s + 4]  # [rblk+2, K, Gx]
+    acc_ref = refs[s + 4]                   # [K, Gx]
+    (sfx_ref, sfy_ref, sgx_ref, sgy_ref, scc_ref,
+     d0x_ref, d0y_ref) = refs[s + 5:s + 12]
+    if surface_tension:
+        (cgx_ref, cgy_ref, clap_ref,
+         stx_ref, sty_ref) = refs[s + 12:s + 17]
+    yb = pl.program_id(0)
+    frame = frame_ref[0]
+    sub = _sub_h(k)
+    static1 = k == sub
+
+    h3 = h * h2
+    _c_neg_inv_2h3 = -1.0 / (2.0 * h3)
+    _c_inv_h2 = 1.0 / h2
+    _c_half_h = h / 2.0
+
+    # program-live: any center-row targets. Mirrors the collapse table
+    # (_row_sel over occ_row): when false this program's input blocks may
+    # be steered to the trash row, so phases P/D must not read them (all
+    # their results would be unconsumed — the F phase writes defaults).
+    live = occc_ref[yb * rblk]
+    for i in range(1, rblk):
+        live = jnp.maximum(live, occc_ref[yb * rblk + i])
+
+    # ---- phase P: predictions for all rblk+4 input rows -> scratch.
+    # Slots beyond a row's own occupancy hold sentinel positions, and
+    # _pred_rows maps sentinels to SENTINEL — so the default fill equals
+    # what the split kernels compute for those slots.
+    for j in range(nrows):
+        yc = jnp.clip(yb * rblk + j - 2, 0, rows_tot - 1)
+        occ = occc_ref[yc]
+        prx_ref[j] = jnp.full((k, gx), SENTINEL, jnp.float32)
+        pry_ref[j] = jnp.full((k, gx), SENTINEL, jnp.float32)
+
+        @pl.when((occ > 0) & (live > 0))
+        def _(j=j, yc=yc, occ=occ):
+            w = wid_ref[yc]
+            dt = sc_ref[w, 0]
+            half_x = sc_ref[w, 10]
+            half_y = sc_ref[w, 11]
+            nb = (occ + (sub - 1)) // sub
+
+            def body(b, carry):
+                o = _sub_off(b, sub)
+                prx, pry = _pred_rows(
+                    rowrefs[j][0][0, pl.ds(o, sub)],
+                    rowrefs[j][1][0, pl.ds(o, sub)],
+                    rowrefs[j][2][0, pl.ds(o, sub)],
+                    rowrefs[j][3][0, pl.ds(o, sub)],
+                    dt, half_x, half_y)
+                prx_ref[j, pl.ds(o, sub)] = prx
+                pry_ref[j, pl.ds(o, sub)] = pry
+                return carry
+
+            _sub_loop(nb, body, static1)
+
+    # ---- phase D: density -> (pressure, 1/rho) scratch for the rblk+2
+    # rows the F phase reads as candidates. Same iteration order as
+    # _density_kernel: (candidate sub-block, target sub-block, slot).
+    for j2 in range(rblk + 2):
+        yc = jnp.clip(yb * rblk + j2 - 1, 0, rows_tot - 1)
+        occ_c = occc_ref[yc]
+        occ3 = occ3_ref[yc]
+        w = wid_ref[yc]
+        kp_c = sc_ref[w, 17]
+        rho0 = sc_ref[w, 18]
+
+        # defaults: floor density everywhere (read only as
+        # excluded-by-range candidates; finite values stay NaN-free)
+        pres_ref[j2] = (jnp.full((k, gx), 1.0, jnp.float32)
+                        * (kp_c * (0.1 - rho0)))
+        invr_ref[j2] = jnp.full((k, gx), 10.0, jnp.float32)
+
+        @pl.when((occ_c > 0) & (live > 0))
+        def _(j2=j2, occ_c=occ_c, occ3=occ3, w=w, kp_c=kp_c, rho0=rho0):
+            mass = sc_ref[w, 14]
+            n3 = (occ3 + (sub - 1)) // sub
+            nt = (occ_c + (sub - 1)) // sub
+
+            def zero_body(t, carry):
+                to = _sub_off(t, sub)
+                acc_ref[pl.ds(to, sub)] = jnp.zeros((sub, gx), jnp.float32)
+                return carry
+
+            _sub_loop(nt, zero_body, static1)
+
+            def cand_body(b, carry):
+                o = _sub_off(b, sub)
+                osl = pl.ds(o, sub)
+                preds = [(prx_ref[j2 + r, osl], pry_ref[j2 + r, osl])
+                         for r in range(3)]
+                rolled = {}
+                for r in range(3):
+                    for dx in (-1, 0, 1):
+                        rolled[(r, dx)] = (_roll_x(preds[r][0], dx),
+                                           _roll_x(preds[r][1], dx))
+
+                def tgt_body(t, c2):
+                    to = _sub_off(t, sub)
+                    px0 = prx_ref[j2 + 1, pl.ds(to, sub)]
+                    py0 = pry_ref[j2 + 1, pl.ds(to, sub)]
+                    for kp in range(sub):
+                        kpg = o + kp
+
+                        def one_cand(kp=kp):
+                            acc = jnp.zeros((sub, gx), jnp.float32)
+                            for r in range(3):
+                                for dx in (-1, 0, 1):
+                                    rl = rolled[(r, dx)]
+                                    nx = rl[0][kp:kp + 1, :]
+                                    ny = rl[1][kp:kp + 1, :]
+                                    ddx = nx - px0
+                                    ddy = ny - py0
+                                    r2 = ddx * ddx + ddy * ddy
+                                    diff = jnp.maximum(h2 - r2, 0.0)
+                                    acc = acc + diff * diff * diff
+                            acc_ref[pl.ds(to, sub)] = (
+                                acc_ref[pl.ds(to, sub)] + acc)
+
+                        pl.when(kpg < occ3)(one_cand)
+                    return c2
+
+                _sub_loop(nt, tgt_body, static1)
+                return carry
+
+            _sub_loop(n3, cand_body, static1)
+
+            def post_body(t, carry):
+                to = _sub_off(t, sub)
+                rho = mass * (jnp.float32(dens_norm)
+                              * acc_ref[pl.ds(to, sub)])
+                rho = jnp.maximum(
+                    jnp.maximum(rho, 1.19209290e-07), 0.1)
+                pres_ref[j2, pl.ds(to, sub)] = kp_c * (rho - rho0)
+                invr_ref[j2, pl.ds(to, sub)] = 1.0 / rho
+                return carry
+
+            _sub_loop(nt, post_body, static1)
+
+    # ---- phase F: forces + integration for the rblk center rows.
+    # Row index maps: world row y+r-1 -> input/pred index i+r+1,
+    # density index i+r (center: input/pred i+2, density i+1).
+    for i in range(rblk):
+        y = yb * rblk + i
+        occ_c = occc_ref[y]
+        occ3 = occ3_ref[y]
+        w = wid_ref[y]
+
+        npx_ref[i] = jnp.full((k, gx), SENTINEL, jnp.float32)
+        npy_ref[i] = jnp.full((k, gx), SENTINEL, jnp.float32)
+        nvx_ref[i] = jnp.zeros((k, gx), jnp.float32)
+        nvy_ref[i] = jnp.zeros((k, gx), jnp.float32)
+
+        @pl.when(occ_c > 0)
+        def _(i=i, occ_c=occ_c, occ3=occ3, w=w):
+            if surface_tension:
+                st_grad_norm = -24.0 / (PI * h**8)
+                st_lap_norm = 8.0 / (PI * h**8)
+            n3 = (occ3 + (sub - 1)) // sub
+            nt = (occ_c + (sub - 1)) // sub
+
+            # pre-pass per TARGET sub-block: tie-break base direction +
+            # zeroed accumulators (predictions already live in scratch;
+            # the split kernel derived d0 from the same pred values)
+            def pre_body(b, carry):
+                o = _sub_off(b, sub)
+
+                def tgt_init():
+                    prx = prx_ref[i + 2, pl.ds(o, sub)]
+                    pry = pry_ref[i + 2, pl.ds(o, sub)]
+                    bx = _bitcast_u32(prx)
+                    by = _bitcast_u32(pry)
+                    seed_self = ((bx * jnp.uint32(0x9E3779B1))
+                                 ^ (by * jnp.uint32(0x85EBCA6B)))
+                    seed_self = seed_self + frame * jnp.uint32(69)
+                    s1 = _xorshift32(seed_self)
+                    s2 = _xorshift32(s1)
+                    rx = _u01(s1)
+                    ry = _u01(s2)
+                    inv = jax.lax.rsqrt(
+                        jnp.maximum(rx * rx + ry * ry, 1e-30))
+                    d0x_ref[pl.ds(o, sub)] = rx * inv
+                    d0y_ref[pl.ds(o, sub)] = ry * inv
+                    z = jnp.zeros((sub, gx), jnp.float32)
+                    sfx_ref[pl.ds(o, sub)] = z
+                    sfy_ref[pl.ds(o, sub)] = z
+                    sgx_ref[pl.ds(o, sub)] = z
+                    sgy_ref[pl.ds(o, sub)] = z
+                    scc_ref[pl.ds(o, sub)] = jnp.zeros((sub, gx),
+                                                       jnp.uint32)
+                    if surface_tension:
+                        st_i = jnp.maximum(prx, 0.0).astype(jnp.int32)
+                        st_seed = (_bitcast_u32(st_i) * jnp.uint32(324)
+                                   + frame * jnp.uint32(5632))
+                        st1 = _xorshift32(st_seed)
+                        st2 = _xorshift32(st1)
+                        strx = _u01(st1)
+                        stry = _u01(st2)
+                        strn = jnp.sqrt(strx * strx + stry * stry)
+                        strn = jnp.where(strn == 0.0, 1.0, strn)
+                        stx_ref[pl.ds(o, sub)] = strx / strn
+                        sty_ref[pl.ds(o, sub)] = stry / strn
+                        cgx_ref[pl.ds(o, sub)] = z
+                        cgy_ref[pl.ds(o, sub)] = z
+                        clap_ref[pl.ds(o, sub)] = z
+
+                if static1:
+                    tgt_init()
+                else:
+                    pl.when(b < nt)(tgt_init)
+                return carry
+
+            _sub_loop(nt, pre_body, static1)
+
+            def cand_body(b, carry):
+                o = _sub_off(b, sub)
+                osl = pl.ds(o, sub)
+                rolled = {}
+                for r in range(3):
+                    flds = (prx_ref[i + r + 1, osl],
+                            pry_ref[i + r + 1, osl],
+                            rowrefs[i + r + 1][2][0, osl],
+                            rowrefs[i + r + 1][3][0, osl],
+                            pres_ref[i + r, osl],
+                            invr_ref[i + r, osl])
+                    for dx in (-1, 0, 1):
+                        rolled[(r, dx)] = tuple(
+                            _roll_x(f, dx) for f in flds)
+
+                def tgt_body(t, c2):
+                    to = _sub_off(t, sub)
+                    tsl = pl.ds(to, sub)
+                    center = (prx_ref[i + 2, tsl], pry_ref[i + 2, tsl],
+                              rowrefs[i + 2][2][0, tsl],
+                              rowrefs[i + 2][3][0, tsl],
+                              pres_ref[i + 1, tsl], invr_ref[i + 1, tsl])
+                    _forces_cand_block(
+                        center, rolled, o, to, sub, occ3,
+                        consts9, flags, sc_ref, w,
+                        d0x_ref, d0y_ref,
+                        sfx_ref, sfy_ref, sgx_ref, sgy_ref,
+                        scc_ref,
+                        cgx_ref if surface_tension else None,
+                        cgy_ref if surface_tension else None,
+                        clap_ref if surface_tension else None,
+                        stx_ref if surface_tension else None,
+                        sty_ref if surface_tension else None,
+                        st_grad_norm if surface_tension else 0,
+                        st_lap_norm if surface_tension else 0,
+                        _c_neg_inv_2h3, _c_inv_h2, _c_half_h)
+                    return c2
+
+                _sub_loop(nt, tgt_body, static1)
+                return carry
+
+            _sub_loop(n3, cand_body, static1)
+
+            def int_body(t, carry):
+                to = _sub_off(t, sub)
+                tsl = pl.ds(to, sub)
+                center = (rowrefs[i + 2][0][0, tsl],
+                          rowrefs[i + 2][1][0, tsl],
+                          rowrefs[i + 2][2][0, tsl],
+                          rowrefs[i + 2][3][0, tsl],
+                          invr_ref[i + 1, tsl],
+                          prx_ref[i + 2, tsl], pry_ref[i + 2, tsl])
+                _forces_integrate_sub(
+                    i, to, sub, center, consts9, flags, sc_ref, w, frame,
+                    ffx_ref if has_ff else None,
+                    ffy_ref if has_ff else None,
+                    npx_ref, npy_ref, nvx_ref, nvy_ref,
+                    sfx_ref, sfy_ref, sgx_ref, sgy_ref,
+                    cgx_ref if surface_tension else None,
+                    cgy_ref if surface_tension else None,
+                    clap_ref if surface_tension else None)
+                return carry
+
+            _sub_loop(nt, int_body, static1)
+
+
+def physics(pos_x, pos_y, vel_x, vel_y, occ_row, params, settings, frame,
+            ff_cells=None, x_boundary="bounce",
+            surface_tension: bool = False,
+            adaptive_subsampling: bool = False, wid=None,
+            rows_per_program=1):
+    """Density + 3x3-stencil forces + full integration as ONE kernel.
+
+    Same contract as density() followed by forces_integrate() — returns
+    (pos_x', pos_y', vel_x', vel_y') BITWISE equal to the split pair —
+    but reads (pos, vel) once, keeps pres/invr in VMEM scratch, and pays
+    one per-program prologue instead of two (see _physics_kernel).
+    """
+    gy, k, gx = pos_x.shape
+    rblk = rows_per_program
+    assert gy % rblk == 0, (gy, rblk)
+    norms = settings.kernel_norms()
+    h_f = float(settings.smoothing_radius)
+    consts = (h_f, h_f * h_f, float(settings.sqr_radius),
+              float(norms.spiky_derivative), float(norms.viscosity),
+              4.0 / (PI * h_f**8), k, gx, rblk, gy)
+    flags = (x_boundary == "wrap", ff_cells is not None,
+             surface_tension, adaptive_subsampling)
+    kernel = functools.partial(_physics_kernel, consts, flags)
+    f32c = jnp.float32
+    mouse_pos = jnp.asarray(params.mouse_pos, jnp.float32)
+    gravity = jnp.asarray(params.gravity, jnp.float32)
+    cols = [
+        params.delta.astype(f32c),
+        params.viscosity_coefficient.astype(f32c),
+        gravity[..., 0],
+        gravity[..., 1],
+        params.damping_factor.astype(f32c),
+        mouse_pos[..., 0],
+        mouse_pos[..., 1],
+        params.mouse_force_radius.astype(f32c),
+        params.mouse_force_power.astype(f32c),
+        params.mouse_state.astype(f32c),
+        jnp.float32(settings.size[0] * 0.5),
+        jnp.float32(settings.size[1] * 0.5),
+        jnp.float32(2.0 * settings.size[0] / settings.texture_size[0]),
+        jnp.float32(2.0 * settings.size[1] / settings.texture_size[1]),
+        params.mass.astype(f32c),
+        params.surface_tension_threshold.astype(f32c),
+        params.surface_tension_coefficient.astype(f32c),
+        params.pressure_constant.astype(f32c),
+        params.rest_density.astype(f32c),
+    ]
+    n_worlds = (max((c.ndim and c.shape[0]) or 1 for c in cols)
+                if wid is not None else 1)
+    sc = jnp.stack(
+        [jnp.broadcast_to(c, (n_worlds,)) for c in cols], axis=1)
+    if wid is None:
+        wid = jnp.zeros((gy,), jnp.int32)
+    fr = jnp.asarray(frame, jnp.uint32).reshape(1)
+    occ_row = jnp.asarray(occ_row, jnp.int32).reshape(-1)
+    occ3 = occ3_of(occ_row)
+    fields = (pos_x, pos_y, vel_x, vel_y)
+    in_specs = ([_scalar_spec()] * 5
+                + _mrow_specs(rblk, gy, k, gx, 4,
+                              _collapse_default(settings), halo=2))
+    args = [sc, fr, jnp.asarray(wid, jnp.int32), occ_row, occ3,
+            *(list(fields) * (rblk + 4))]
+    if ff_cells is not None:
+        ffx, ffy = ff_cells
+        args += [ffx.reshape(gy, 1, gx), ffy.reshape(gy, 1, gx)]
+        ff_spec = pl.BlockSpec((rblk, 1, gx), lambda y, rowsel: (y, 0, 0),
+                               memory_space=pltpu.VMEM)
+        in_specs += [ff_spec, ff_spec]
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(gy // rblk,),
+            in_specs=in_specs,
+            out_specs=tuple(_mout_spec(rblk, k, gx) for _ in range(4)),
+            scratch_shapes=(
+                [pltpu.VMEM((rblk + 4, k, gx), f32)] * 2   # prx, pry
+                + [pltpu.VMEM((rblk + 2, k, gx), f32)] * 2  # pres, invr
+                + [pltpu.VMEM((k, gx), f32)]                # acc
+                + [pltpu.VMEM((k, gx), f32)] * 4      # sfx, sfy, sgx, sgy
+                + [pltpu.VMEM((k, gx), jnp.uint32)]   # scc
+                + [pltpu.VMEM((k, gx), f32)] * 2      # d0x, d0y
+                + ([pltpu.VMEM((k, gx), f32)] * 5     # cgx/cgy/clap/stx/sty
+                   if surface_tension else [])
+            ),
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((gy, k, gx), f32) for _ in range(4)),
+        interpret=_interpret(),
+        name="sph_physics_fused",
+    )(_row_sel(occ_row, rblk, gy, halo=2), *args)
 
 
 def forces_integrate(pos_x, pos_y, vel_x, vel_y, pres, invr, occ_row,

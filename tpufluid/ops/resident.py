@@ -89,17 +89,27 @@ def pad_capacity(settings: SimSettings) -> SimSettings:
     return dataclasses.replace(settings, cell_capacity=-(-k // 8) * 8)
 
 
+def _split_physics() -> bool:
+    """A/B escape hatch: TPUFLUID_SPLIT_PHYSICS=1 runs the two-kernel
+    density + forces path instead of the fused physics kernel (bitwise
+    identical outputs either way)."""
+    import os
+    return bool(os.environ.get("TPUFLUID_SPLIT_PHYSICS", ""))
+
+
 def rows_per_program(settings: SimSettings) -> int:
-    """Largest rows-per-program whose forces-kernel VMEM footprint fits
+    """Largest rows-per-program whose physics-kernel VMEM footprint fits
     the ~16 MB budget (row padding stays at 4, a multiple of every
     choice). Footprint model, validated against the compiler's scoped-
-    vmem accounting (a K=16, Gxp=2176 slab at rblk=4 reports 17.04 MB):
-    double-buffered 6-field (rblk+2)-row inputs + double-buffered 4-field
-    outputs + ~18 row-tiles of scratch, all [K, Gxp] f32."""
+    vmem accounting: double-buffered 4-field (rblk+4)-row inputs +
+    double-buffered 4-field rblk-row outputs + scratch (2 pred rows x
+    (rblk+4), 2 density rows x (rblk+2), ~10 single-row accumulators),
+    all [K, Gxp] f32 tiles."""
     k = pad_capacity(settings).cell_capacity
     gxp = _gxp(settings)
     for rblk in (ROWS_PER_PROGRAM, 2, 1):
-        est = 4 * k * gxp * (12 * (rblk + 2) + 8 * rblk + 18)
+        est = 4 * k * gxp * (8 * (rblk + 4) + 8 * rblk
+                             + 2 * (rblk + 4) + 2 * (rblk + 2) + 15)
         if est <= 15 * 2**20:
             return rblk
     return 1
@@ -461,17 +471,29 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
                                             n_rows=gy_p)
 
         # full-K calls: sub-row folding inside the kernels bounds the
-        # work by per-row occupancy at 8-slot granularity
-        pres, invr = fused.density(
-            px, py, vx, vy, occ_row, params.mass, dt,
-            params.pressure_constant, params.rest_density, settings,
-            wid=wid, rows_per_program=rblk)
-        npx, npy, nvx, nvy = fused.forces_integrate(
-            px, py, vx, vy, pres, invr, occ_row, params, settings,
-            frame, ff_cells=ff_cells, x_boundary=x_boundary,
-            surface_tension=surface_tension,
-            adaptive_subsampling=adaptive_subsampling, wid=wid,
-            rows_per_program=rblk)
+        # work by per-row occupancy at 8-slot granularity. Default is
+        # the single fused physics kernel (density + forces +
+        # integration, bitwise equal to the split pair — see
+        # fused._physics_kernel); TPUFLUID_SPLIT_PHYSICS=1 falls back
+        # to the two-kernel path for A/B measurement.
+        if _split_physics():
+            pres, invr = fused.density(
+                px, py, vx, vy, occ_row, params.mass, dt,
+                params.pressure_constant, params.rest_density, settings,
+                wid=wid, rows_per_program=rblk)
+            npx, npy, nvx, nvy = fused.forces_integrate(
+                px, py, vx, vy, pres, invr, occ_row, params, settings,
+                frame, ff_cells=ff_cells, x_boundary=x_boundary,
+                surface_tension=surface_tension,
+                adaptive_subsampling=adaptive_subsampling, wid=wid,
+                rows_per_program=rblk)
+        else:
+            npx, npy, nvx, nvy = fused.physics(
+                px, py, vx, vy, occ_row, params, settings,
+                frame, ff_cells=ff_cells, x_boundary=x_boundary,
+                surface_tension=surface_tension,
+                adaptive_subsampling=adaptive_subsampling, wid=wid,
+                rows_per_program=rblk)
 
         return GridState(
             pos_x=npx, pos_y=npy, vel_x=nvx, vel_y=nvy,
