@@ -278,6 +278,34 @@ def run_configs(which=None, out=sys.stdout, mode="resident"):
     return results
 
 
+def _measured_comm_bytes_per_dir(spec) -> int:
+    """Per-direction ICI bytes of one sharded resident step, measured by
+    tracing the ACTUAL step over an AbstractMesh (no multi-chip hardware
+    needed) and summing its ppermute payloads — parallel/comm_audit.py.
+    A refactor that adds traffic changes this number (and fails the pin
+    test in tests/test_shard.py)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import AbstractMesh
+    from tpufluid.ops import resident as residentops
+    from tpufluid.parallel import comm_audit, make_sharded_resident_step
+    from tpufluid.params import TickParams
+
+    step = make_sharded_resident_step(spec, mesh=AbstractMesh((8,), ("x",)))
+    gy = spec.rows_per_dev * spec.n_devices
+    k = spec.settings.cell_capacity
+    gxp = residentops._gxp(spec.settings)
+    f32 = lambda *s: jax.ShapeDtypeStruct(s, jnp.float32)
+    gs = residentops.GridState(
+        pos_x=f32(gy, k, gxp), pos_y=f32(gy, k, gxp),
+        vel_x=f32(gy, k, gxp), vel_y=f32(gy, k, gxp),
+        occ_row=jax.ShapeDtypeStruct((gy,), jnp.int32),
+        tick=jax.ShapeDtypeStruct((), jnp.uint32),
+        lost=jax.ShapeDtypeStruct((), jnp.int32))
+    audit = comm_audit.audit_step(step, gs, TickParams.default())
+    return audit["ppermute_bytes_per_dir"]
+
+
 def config5_model(out=sys.stdout):
     """Config 5 derived estimate (multi-chip hardware unavailable on this
     host): measure ONE device's compute share of the 4M/v5e-8 scene on the
@@ -285,12 +313,15 @@ def config5_model(out=sys.stdout):
     sharded step from its spec, and combine under a documented bandwidth
     assumption.
 
-    Per-step comm of make_sharded_resident_step, per direction (see
-    tpufluid/parallel/shard.py — boundary-row merge 1 row, (pos, vel) halo
-    2 rows, each 4 f32 fields of [K, Gxp], plus O(bytes~0) occupancy
-    scalars and a psum far-mover gate):
+    Per-step comm of make_sharded_resident_step is MEASURED from the
+    traced step itself (parallel/comm_audit.py sums every ppermute in
+    the jaxpr over an AbstractMesh of 8 devices), not assumed from
+    prose; tests/test_shard.py::test_resident_comm_volume_matches_model
+    pins the same number against the documented formula (boundary-row
+    merge 1 row + (pos, vel) halo 2 rows, each 4 f32 fields of [K, Gxp],
+    plus the i32 occupancy rows):
 
-        bytes/dir = 3 rows x 4 fields x K x Gxp x 4 B
+        bytes/dir = 3 rows x 4 fields x K x Gxp x 4 B  (+ occupancy)
 
     Assumptions (stated in the output): v5e ICI one-way bandwidth
     45 GB/s per link (jax-ml.github.io/scaling-book hardware table),
@@ -333,7 +364,7 @@ def config5_model(out=sys.stdout):
     t_band = r["ms_per_step"] * 1e-3  # s
 
     halo_factor = (rows + 4) / rows  # sharded kernels run band+halo rows
-    bytes_dir = 3 * 4 * k * gxp * 4
+    bytes_dir = _measured_comm_bytes_per_dir(spec)
     ici_bw = 4.5e10          # B/s one-way per link (v5e)
     phase_lat = 2e-6         # s per collective phase (launch + 1 hop)
     t_comm = bytes_dir / ici_bw + 3 * phase_lat
@@ -344,7 +375,7 @@ def config5_model(out=sys.stdout):
         band_particles=n // d, band_rows=rows, k=k, gxp=gxp,
         measured_band_ms_per_step=t_band * 1e3,
         halo_factor=round(halo_factor, 4),
-        comm_bytes_per_dir_per_step=bytes_dir,
+        measured_comm_bytes=bytes_dir,  # from the traced step's jaxpr
         assumed_ici_oneway_GBps=ici_bw / 1e9,
         modeled_comm_ms_per_step=t_comm * 1e3,
         est_ms_per_step=t_step * 1e3,

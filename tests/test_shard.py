@@ -300,3 +300,38 @@ def test_resident_sharded_variants_match_single_chip(eight_devices, variant):
     np.testing.assert_array_equal(
         sorted_points(np.asarray(ps.position)[:512]),
         sorted_points(np.asarray(pr.position)[:512]))
+
+
+def test_resident_comm_volume_matches_model(eight_devices):
+    """Round-3 VERDICT weak item 3: the config-5 ICI model's volume term
+    must equal what the compiled sharded step actually ships. Statically
+    account every ppermute/all_gather in the traced step
+    (parallel/comm_audit.py) and assert the per-direction bytes equal the
+    documented formula: 3 rows x 4 f32 fields x [K, Gxp] (one packed
+    boundary row + a two-row (pos, vel) halo) + the i32 occupancy rows.
+    Any refactor that adds traffic fails here instead of silently
+    inflating the derived 4M/v5e-8 number (bench.py --config5-model)."""
+    from tpufluid.parallel import (
+        build_resident_spec, init_sharded_resident, make_resident_mesh,
+        make_sharded_resident_step)
+    from tpufluid.parallel import comm_audit
+
+    s = SimSettings(particle_count=512, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(8.0, 8.0), cell_capacity=8)
+    spec = build_resident_spec(s, 8)
+    mesh = make_resident_mesh(spec)
+    step = make_sharded_resident_step(spec, mesh=mesh)
+    gs = init_sharded_resident(spec, mesh=mesh)
+    audit = comm_audit.audit_step(step, gs, TickParams.default())
+    model = comm_audit.resident_comm_formula(spec)
+
+    assert audit["ppermute_bytes_per_dir"] == model["bytes_per_dir"]
+    # the ONLY all_gather is the cond-gated far-mover packet
+    assert audit["all_gather_bytes_unconditional"] == 0
+    assert audit["all_gather_bytes_conditional"] == model["far_packet_bytes"]
+    assert audit["ppermute_bytes_conditional"] == 0
+    # per-step unconditional psums are scalar gates/ledgers, not payload
+    for op in audit["ops"]:
+        if op.primitive.startswith(("psum", "all_reduce")) \
+                and not op.conditional:
+            assert op.nbytes <= 8, op

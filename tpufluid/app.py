@@ -449,6 +449,7 @@ class FluidApp:
         self._shrink_streak = 0
         replay = self._ticks_since_snapshot
         while True:
+            self.n_regrows = getattr(self, "n_regrows", 0) + 1
             k = self.settings.cell_capacity
             new_k = -(-(k + max(8, k // 4)) // 8) * 8
             if new_k > self.MAX_CELL_CAPACITY:
@@ -563,12 +564,23 @@ class FluidApp:
 
     # -------------------------------------------------------------- metrics
 
-    def metrics(self) -> dict:
+    def metrics(self, deep: bool = False) -> dict:
         """Numeric observability snapshot (the reference exports none —
-        SURVEY.md section 5): tick, steps/s, drop counters, health."""
-        from .utils.profiling import health_check
+        SURVEY.md section 5): tick, steps/s, drop counters.
+
+        The default is CHEAP — host counters plus two device scalars
+        (tick, lost); safe to call every frame. ``deep=True`` adds the
+        full ``health_check`` audit (NaN counts, bounds, occupancy vs
+        capacity, max speed), which re-bins the particle set on host and,
+        in resident mode, materializes ``state`` (a full slot-space sort)
+        — more expensive than a 1M step; use it for debugging, not in
+        the hot loop."""
+        if self._resident:
+            tick = int(self._grid_state.tick)
+        else:
+            tick = int(self._state.tick)
         out = dict(
-            tick=int(self.state.tick),
+            tick=tick,
             sim_state=self.sim_state.value,
             steps_per_sec=self.timer.last_rate,
             particle_steps_per_sec=(
@@ -577,7 +589,11 @@ class FluidApp:
         )
         if self._resident:
             out["lost_particles"] = int(self._grid_state.lost)
-        out.update(health_check(self.state, self.settings))
+            out["n_regrows"] = getattr(self, "n_regrows", 0)
+            out["cell_capacity"] = self.settings.cell_capacity
+        if deep:
+            from .utils.profiling import health_check
+            out.update(health_check(self.state, self.settings))
         return out
 
     # ------------------------------------------------------------ checkpoint
