@@ -1,10 +1,11 @@
 """Round-4 full-step A/B: fused vs split physics kernel x rows-per-program.
 
 One configuration per invocation (the step caches key on settings, not on
-the TPUFLUID_SPLIT_PHYSICS env or ROWS_PER_PROGRAM, so mixing configs in
+the TPUFLUID_FUSED_PHYSICS env or ROWS_PER_PROGRAM, so mixing configs in
 one process would reuse stale compilations).
 
-Usage: PYTHONPATH=. python scripts/ab_r4.py --scene 64k [--split]
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/ab_r4.py
+       --scene 64k [--fused]
        [--rblk 8] [--burst N] [--iters N] [--settle N]
 """
 
@@ -18,7 +19,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="64k")
     ap.add_argument("--split", action="store_true",
-                    help="two-kernel density+forces path")
+                    help="two-kernel density+forces path (the default "
+                         "since the round-4 A/B; kept for compat)")
+    ap.add_argument("--fused", action="store_true",
+                    help="single fused physics kernel")
     ap.add_argument("--rblk", type=int, default=0,
                     help="override ROWS_PER_PROGRAM (0 = default)")
     ap.add_argument("--burst", type=int, default=0)
@@ -26,8 +30,8 @@ def main():
     ap.add_argument("--settle", type=int, default=200)
     args = ap.parse_args()
 
-    if args.split:
-        os.environ["TPUFLUID_SPLIT_PHYSICS"] = "1"
+    if args.fused:
+        os.environ["TPUFLUID_FUSED_PHYSICS"] = "1"
 
     import jax
     import jax.numpy as jnp
@@ -59,7 +63,8 @@ def main():
     float(jnp.max(out.pos_x))
     ms = (time.perf_counter() - t0) / args.iters / burst * 1e3
     print(json.dumps(dict(
-        scene=scene.name, physics="split" if args.split else "fused",
+        scene=scene.name,
+        physics="split" if resident._split_physics() else "fused",
         rblk=resident.rows_per_program(settings), burst=burst,
         ms_per_step=round(ms, 4), particle_steps_per_sec=n / (ms * 1e-3),
         lost=int(out.lost), backend=jax.default_backend())), flush=True)

@@ -496,6 +496,7 @@ def test_physics_matches_split_kernels(st, ad, xb):
         assert np.array_equal(np.asarray(a), np.asarray(b)), nm
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("variant_kw", [
     dict(x_boundary="wrap"),
     dict(surface_tension=True),

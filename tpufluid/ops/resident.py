@@ -90,11 +90,23 @@ def pad_capacity(settings: SimSettings) -> SimSettings:
 
 
 def _split_physics() -> bool:
-    """A/B escape hatch: TPUFLUID_SPLIT_PHYSICS=1 runs the two-kernel
-    density + forces path instead of the fused physics kernel (bitwise
-    identical outputs either way)."""
+    """Physics kernel layout: the two-kernel density + forces path
+    (default) vs the single fused physics kernel (bitwise identical
+    outputs either way; TPUFLUID_FUSED_PHYSICS=1 /
+    TPUFLUID_SPLIT_PHYSICS=1 force one or the other).
+
+    Round-4 A/B on v5e (scripts/ab_r4.py, settled states, matched
+    bursts) measured the fused kernel a LOSS at every scale — 64k
+    0.847 vs 0.805 ms, 256k 1.123 vs ~0.98, 1M standalone physics
+    2.041/1.931 (rblk 4/8) vs 1.845 — because it must recompute
+    density for its (rblk+2)-row halo, which outweighs the saved
+    pres/invr HBM round-trip and prologue. Kept for A/B and as the
+    substrate for future layouts where the halo redundancy shrinks
+    (ROADMAP item 11)."""
     import os
-    return bool(os.environ.get("TPUFLUID_SPLIT_PHYSICS", ""))
+    if os.environ.get("TPUFLUID_FUSED_PHYSICS", ""):
+        return False
+    return True
 
 
 def rows_per_program(settings: SimSettings) -> int:
@@ -472,10 +484,9 @@ def make_grid_step(settings: SimSettings, far_capacity: int | None = None,
 
         # full-K calls: sub-row folding inside the kernels bounds the
         # work by per-row occupancy at 8-slot granularity. Default is
-        # the single fused physics kernel (density + forces +
-        # integration, bitwise equal to the split pair — see
-        # fused._physics_kernel); TPUFLUID_SPLIT_PHYSICS=1 falls back
-        # to the two-kernel path for A/B measurement.
+        # the two-kernel density + forces path (the fused physics
+        # kernel measured slower at every scale — _split_physics);
+        # TPUFLUID_FUSED_PHYSICS=1 switches to the single kernel.
         if _split_physics():
             pres, invr = fused.density(
                 px, py, vx, vy, occ_row, params.mass, dt,
