@@ -291,7 +291,8 @@ def _measured_comm_bytes_per_dir(spec) -> int:
     from tpufluid.parallel import comm_audit, make_sharded_resident_step
     from tpufluid.params import TickParams
 
-    step = make_sharded_resident_step(spec, mesh=AbstractMesh((8,), ("x",)))
+    step = make_sharded_resident_step(
+        spec, mesh=AbstractMesh((spec.n_devices,), ("x",)))
     gy = spec.rows_per_dev * spec.n_devices
     k = spec.settings.cell_capacity
     gxp = residentops._gxp(spec.settings)

@@ -28,6 +28,35 @@ def test_video_field_pushes_particles_out():
     app.tick()
 
 
+def test_video_frame_to_field_alignment():
+    """Rendered frame i must consume video frame i, starting at 0 — the
+    reference decodes exactly one packet per rendered frame from the very
+    first frame (src/main.rs:154-197). Regression test for the off-by-one
+    where iter_frames advanced BEFORE the first frame (frame 0 then used
+    _video_fields[1])."""
+    s = SimSettings(particle_count=64, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(8.0, 8.0),
+                    texture_size=(64, 64), cell_capacity=32)
+    app = FluidApp(s)
+    # 4 distinct frames: obstacle block in a different quadrant each frame
+    frames = np.full((4, 64, 64), 255, np.uint8)
+    frames[0, 0:16, 0:16] = 0
+    frames[1, 0:16, 48:64] = 0
+    frames[2, 48:64, 0:16] = 0
+    frames[3, 48:64, 48:64] = 0
+    app.set_video_field(frames)
+
+    fields = [np.asarray(f) for f in app._video_fields]
+    seen = []
+    for i, _ in enumerate(app.iter_frames(5, width=64, height=64)):
+        cur = np.asarray(app._forcefield)
+        matches = [j for j, f in enumerate(fields) if np.array_equal(cur, f)]
+        assert len(matches) == 1
+        seen.append(matches[0])
+    # frame i rendered under field i (mod 4): advance happens after render
+    assert seen == [0, 1, 2, 3, 0]
+
+
 def test_video_field_size_mismatch_rejected():
     s = SimSettings(particle_count=16, size=(8.0, 8.0),
                     texture_size=(64, 64), cell_capacity=32)

@@ -168,6 +168,7 @@ class FluidApp:
         # the state setter rebuilds _grid_state in resident mode
         self.state = init_state(self.settings)
         self.accumulator = 0.0
+        self.n_regrows = 0  # session counter, scoped to the current run
 
     def set_mouse(self, pos=None, state: Optional[int] = None) -> None:
         """World-space impulse source: state -1 repel / +1 attract / 0 off."""
@@ -448,8 +449,10 @@ class FluidApp:
         import dataclasses
         self._shrink_streak = 0
         replay = self._ticks_since_snapshot
+        # One EVENT per overflow, regardless of how many capacity widenings
+        # the escalation loop below needs (metrics() documents this).
+        self.n_regrows = getattr(self, "n_regrows", 0) + 1
         while True:
-            self.n_regrows = getattr(self, "n_regrows", 0) + 1
             k = self.settings.cell_capacity
             new_k = -(-(k + max(8, k // 4)) // 8) * 8
             if new_k > self.MAX_CELL_CAPACITY:
@@ -532,10 +535,14 @@ class FluidApp:
         16 ticks per frame, yields rgba8[H, W, 4] per frame."""
         self.sim_state = SimState.RENDER
         for i in range(frames):
-            self.advance_video_frame()  # one video frame per output frame
+            # One video frame per output frame, starting at frame 0: the
+            # reference decodes one packet per rendered frame from the start
+            # (src/main.rs:154-197), and set_video_field already primed
+            # _forcefield with _video_fields[0] — so advance AFTER the frame.
             self.run(self.TICKS_PER_RENDER_FRAME)
             frame = self.render_frame(width, height, mode=mode)
             yield np.asarray(renderops.to_rgba8(frame))
+            self.advance_video_frame()
             if progress:
                 progress(i)
         self.sim_state = SimState.STOPPED
@@ -589,6 +596,10 @@ class FluidApp:
         )
         if self._resident:
             out["lost_particles"] = int(self._grid_state.lost)
+            # n_regrows counts overflow EVENTS (one per regrow-and-replay,
+            # however many capacity widenings the escalation needed). It is
+            # a session counter: restart() zeroes it and it is not persisted
+            # in checkpoints (load() starts a fresh session).
             out["n_regrows"] = getattr(self, "n_regrows", 0)
             out["cell_capacity"] = self.settings.cell_capacity
         if deep:

@@ -104,6 +104,8 @@ def _split_physics() -> bool:
     substrate for future layouts where the halo redundancy shrinks
     (ROADMAP item 11)."""
     import os
+    if os.environ.get("TPUFLUID_SPLIT_PHYSICS", ""):
+        return True
     if os.environ.get("TPUFLUID_FUSED_PHYSICS", ""):
         return False
     return True

@@ -33,6 +33,7 @@ class CollectiveOp:
     dtype: str
     nbytes: int
     conditional: bool  # inside a lax.cond branch (may not run every step)
+    looped: bool = False  # inside a scan/while body (runs trip-count times)
 
 
 def _sub_jaxprs(eqn):
@@ -51,7 +52,7 @@ def _sub_jaxprs(eqn):
 def collect_collectives(closed_jaxpr) -> List[CollectiveOp]:
     out: List[CollectiveOp] = []
 
-    def visit(jaxpr, conditional):
+    def visit(jaxpr, conditional, looped):
         for eqn in jaxpr.eqns:
             name = eqn.primitive.name
             if name in COLLECTIVES:
@@ -64,12 +65,13 @@ def collect_collectives(closed_jaxpr) -> List[CollectiveOp]:
                     out.append(CollectiveOp(
                         primitive=name, shape=tuple(aval.shape),
                         dtype=str(np.dtype(aval.dtype)), nbytes=nbytes,
-                        conditional=conditional))
+                        conditional=conditional, looped=looped))
             sub_conditional = conditional or name == "cond"
+            sub_looped = looped or name in ("scan", "while")
             for sub in _sub_jaxprs(eqn):
-                visit(sub, sub_conditional)
+                visit(sub, sub_conditional, sub_looped)
 
-    visit(closed_jaxpr.jaxpr, False)
+    visit(closed_jaxpr.jaxpr, False, False)
     return out
 
 
@@ -83,9 +85,24 @@ def audit_step(fn, *example_args) -> dict:
       all_gather_bytes_conditional  far-mover packets (cond-gated)
       psum_scalars                number of unconditional psum operands
       ops                         the raw CollectiveOp list
+
+    Assumptions (enforced): ``fn`` must be a SINGLE step — a collective
+    found inside a ``lax.scan``/``while_loop`` body runs trip-count
+    times but is counted once, so audit_step raises on any looped
+    collective rather than silently undercounting. The per-direction
+    split assumes the row-band design's symmetric left/right traffic
+    (each boundary exchange is a matched send_right + send_left pair,
+    shard.py phases 2 and 4).
     """
     jaxpr = jax.make_jaxpr(fn)(*example_args)
     ops = collect_collectives(jaxpr)
+    loop_ops = [o for o in ops if o.looped]
+    if loop_ops:
+        raise ValueError(
+            "audit_step only supports single-step functions: found "
+            f"{len(loop_ops)} collective(s) inside scan/while bodies "
+            "whose trip counts are not statically accounted: "
+            + ", ".join(f"{o.primitive}{o.shape}" for o in loop_ops))
     pp = [o for o in ops if o.primitive == "ppermute" and not o.conditional]
     pp_cond = [o for o in ops if o.primitive == "ppermute" and o.conditional]
     ag = [o for o in ops if o.primitive == "all_gather"]
