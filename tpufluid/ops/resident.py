@@ -589,6 +589,44 @@ def batched_params(param_list) -> TickParams:
     return stacked
 
 
+def batched_world_stats(gs: GridState, settings: SimSettings,
+                        n_worlds: int) -> dict:
+    """Per-world occupancy/row metrics for a batched row stack.
+
+    The fused kernels' cost scales with occupied rows x occ3 (candidate
+    slots scanned), so per-world variance here IS the batched-vs-single
+    throughput gap (BASELINE config 4): the stacked kernels pay every
+    world's row count at that world's occupancy, and a world whose fluid
+    spreads over more rows or compresses to higher occ3 costs more than
+    the single-scene equivalent. Returns plain Python lists (one entry
+    per world): particle count, occupied rows, per-row max occupancy
+    (mean over occupied rows / max), and mean occ3 over occupied rows —
+    the candidate-scan bound the kernels actually pay."""
+    gy = _rows(settings)
+    occ_cell = jnp.sum((gs.pos_x < SENTINEL_HALF).astype(jnp.int32),
+                       axis=1)  # [Gy_total, Gxp]
+    occ_cell = occ_cell.reshape(n_worlds, gy, -1)
+    n_parts = jnp.sum(occ_cell, axis=(1, 2))
+    rowmax = jnp.max(occ_cell, axis=2)  # [W, Gy]
+    occupied = rowmax > 0
+    n_rows = jnp.sum(occupied.astype(jnp.int32), axis=1)
+    lo = jnp.concatenate([rowmax[:, :1] * 0, rowmax[:, :-1]], axis=1)
+    hi = jnp.concatenate([rowmax[:, 1:], rowmax[:, :1] * 0], axis=1)
+    occ3 = jnp.maximum(jnp.maximum(lo, rowmax), hi)
+    denom = jnp.maximum(n_rows, 1).astype(jnp.float32)
+    mean_rowmax = (jnp.sum(jnp.where(occupied, rowmax, 0), axis=1)
+                   / denom)
+    mean_occ3 = (jnp.sum(jnp.where(occupied, occ3, 0), axis=1)
+                 / denom)
+    return dict(
+        particles=[int(x) for x in n_parts],
+        occupied_rows=[int(x) for x in n_rows],
+        rowmax_mean=[float(x) for x in mean_rowmax],
+        rowmax_max=[int(x) for x in jnp.max(rowmax, axis=1)],
+        occ3_mean=[float(x) for x in mean_occ3],
+    )
+
+
 def world_state(gs: GridState, settings: SimSettings, w: int) -> GridState:
     """Slice world ``w`` out of a batched row stack."""
     gy = _rows(settings)
