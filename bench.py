@@ -45,25 +45,32 @@ def _warm_fetch():
     _sync(jnp.ones(8))
 
 
-def _timeit(fn, state, params, *extra, warmup=3, iters=20):
+def _timeit(fn, state, params, *extra, warmup=3, iters=20, repeats=1):
+    """Mean seconds per call; with ``repeats`` > 1 also the per-repeat
+    sample list (each repeat times ``iters`` calls), so callers can
+    report a variance band instead of a bare point (round-4 verdict:
+    4.26 vs 4.32e8 headline moves were unattributable without one)."""
     _warm_fetch()
     for _ in range(warmup):
         state = fn(state, params, *extra)
     _sync(state)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state = fn(state, params, *extra)
-    _sync(state)
-    dt = time.perf_counter() - t0
-    return dt / iters, state
+    samples = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state = fn(state, params, *extra)
+        _sync(state)
+        samples.append((time.perf_counter() - t0) / iters)
+    return sum(samples) / len(samples), state, samples
 
 
 def bench_step(scene, warmup=3, iters=20, burst=10, neighbor_mode="resident",
-               **step_kw):
+               repeats=1, **step_kw):
     """Times an on-device lax.scan burst of ``burst`` steps (single host
     dispatch), so remote-tunnel dispatch latency doesn't pollute the
     per-step number. neighbor_mode 'resident' uses the grid-resident
-    engine (ops.resident)."""
+    engine (ops.resident). ``repeats`` > 1 adds mean/sigma fields over
+    that many independent timed repeats."""
     n = scene.settings.particle_count
     if neighbor_mode == "resident":
         from tpufluid.ops import resident
@@ -76,15 +83,23 @@ def bench_step(scene, warmup=3, iters=20, burst=10, neighbor_mode="resident",
         run = make_multi_step(scene.settings, burst,
                               neighbor_mode=neighbor_mode, **step_kw)
         state = scene.init()
-    sec, _ = _timeit(run, state, scene.params, warmup=warmup, iters=iters)
+    sec, _, samples = _timeit(run, state, scene.params, warmup=warmup,
+                              iters=iters, repeats=repeats)
     sec /= burst
-    return dict(
+    out = dict(
         config=scene.name,
         particles=n,
         mode=neighbor_mode,
         ms_per_step=sec * 1e3,
         particle_steps_per_sec=n / sec,
     )
+    if repeats > 1:
+        rates = [n / (s / burst) for s in samples]
+        mean = sum(rates) / len(rates)
+        var = sum((r - mean) ** 2 for r in rates) / (len(rates) - 1)
+        out["particle_steps_per_sec_samples"] = rates
+        out["particle_steps_per_sec_sigma"] = var ** 0.5
+    return out
 
 
 def bench_render(scene, width=1920, height=1080, warmup=2, iters=5):
@@ -262,11 +277,15 @@ def run_configs(which=None, out=sys.stdout, mode="resident"):
         burst = 10
         brun = res.make_grid_multi_step(bsettings, burst, n_worlds=B)
         bgs = res.init_batched_grid_state(bsettings, B)
-        sec, _ = _timeit(brun, bgs, bp, warmup=2, iters=5)
+        sec, bgs_end, _ = _timeit(brun, bgs, bp, warmup=2, iters=5)
         sec /= burst
         r["batch8x128k_ms_per_step"] = sec * 1e3
         r["batch8x128k_particle_steps_per_sec"] = (
             B * bsettings.particle_count / sec)
+        # per-world occupancy variance — the batched-vs-single gap's
+        # cost model (kernel work ~ occupied rows x occ3 per world)
+        r["batch8x128k_world_stats"] = res.batched_world_stats(
+            bgs_end, bsettings, B)
         record("config4_1m", r)
     if wants(5):
         if jax.device_count() >= 2:
@@ -432,7 +451,7 @@ def bench_sharded(mode="resident", n=None, iters=10):
         new, _ = step(st, p)
         return new
 
-    sec, _ = _timeit(fn, state, params, warmup=2, iters=iters)
+    sec, _, _ = _timeit(fn, state, params, warmup=2, iters=iters)
     return dict(
         config=f"sharded-{d}dev-{mode}", particles=n, ms_per_step=sec * 1e3,
         particle_steps_per_sec=n / sec, devices=d,
@@ -539,11 +558,76 @@ def run_parity(steps_short=10, steps_long=200, n=16384, out_path="PARITY.json"):
     return ok_all
 
 
+def run_cross_backend_parity(steps=50, n=4096, out_path="PARITY.json"):
+    """Step-for-step CPU-vs-TPU divergence of the SAME grid-mode step
+    (BASELINE.json's "step-for-step trajectory agreement at fixed dt";
+    SURVEY section 4 point 3).
+
+    Per step, both backends get the IDENTICAL input state (synced: the
+    TPU output becomes the next input for both), so the numbers below
+    are single-step divergences — not compounded chaos. Records the
+    max per-step |dpos|/|dvel| into PARITY.json under "cpu_vs_tpu" and
+    whether the agreement is bitwise. The production engines' honest
+    contract (BASELINE.md "Cross-backend determinism") derives from
+    this measurement, not from assumption."""
+    import numpy as np
+    import jax
+    from tpufluid import (SimSettings, TickParams, init_state, make_step)
+
+    if jax.default_backend() == "cpu":
+        print(json.dumps({"metric": "cpu_vs_tpu_step_parity",
+                          "skipped": "no accelerator backend"}))
+        return None
+    s = SimSettings(particle_count=n, particle_spacing=0.1,
+                    smoothing_radius=0.2, size=(16.0, 16.0),
+                    cell_capacity=32)
+    params = TickParams.default(gravity=(0.0, -3.0))
+    step = make_step(s, neighbor_mode="grid")
+    cpu = jax.devices("cpu")[0]
+    acc = jax.devices()[0]
+    _warm_fetch()
+    state = init_state(s)
+    max_dpos = 0.0
+    max_dvel = 0.0
+    max_drho = 0.0
+    for i in range(steps):
+        st_acc = step(jax.device_put(state, acc), params)
+        st_cpu = step(jax.device_put(state, cpu), params)
+        a_pos = np.asarray(st_acc.position)
+        c_pos = np.asarray(st_cpu.position)
+        max_dpos = max(max_dpos, float(np.abs(a_pos - c_pos).max()))
+        max_dvel = max(max_dvel, float(np.abs(
+            np.asarray(st_acc.velocity) - np.asarray(st_cpu.velocity)).max()))
+        max_drho = max(max_drho, float(np.abs(
+            np.asarray(st_acc.density) - np.asarray(st_cpu.density)).max()))
+        state = st_acc  # synced inputs: continue from the TPU trajectory
+    rec = dict(
+        steps=steps, n=n,
+        accelerator=jax.default_backend(),
+        max_step_dpos=max_dpos, max_step_dvel=max_dvel,
+        max_step_drho=max_drho,
+        bitwise=(max_dpos == 0.0 and max_dvel == 0.0 and max_drho == 0.0),
+        generated_utc=time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    )
+    try:
+        with open(out_path) as f:
+            report = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        report = {}
+    report["cpu_vs_tpu"] = rec
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({"metric": "cpu_vs_tpu_step_parity", **rec}))
+    return rec
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="full ladder to stderr")
     ap.add_argument("--parity", action="store_true",
                     help="compiled engine-parity artifact -> PARITY.json")
+    ap.add_argument("--xparity", action="store_true",
+                    help="step-for-step CPU-vs-TPU divergence -> PARITY.json")
     ap.add_argument("--config5-model", action="store_true",
                     help="derived 4M/v5e-8 estimate (measured band compute "
                          "+ analytic ICI comm model)")
@@ -555,6 +639,10 @@ def main():
     if args.parity:
         ok = run_parity()
         sys.exit(0 if ok else 1)
+
+    if args.xparity:
+        run_cross_backend_parity()
+        return
 
     if args.config5_model:
         config5_model()
@@ -577,15 +665,20 @@ def main():
     from tpufluid import models
     # burst 120: ~0.3 s of execution behind each dispatch — the ~3.5 ms
     # tunnel dispatch floor then biases the per-step number by <1.5%
-    # (burst 40 inflated it ~4%; see BASELINE.md benchmarking protocol)
+    # (burst 40 inflated it ~4%; see BASELINE.md benchmarking protocol).
+    # 5 independent repeats: value/vs_baseline come from the MEAN and
+    # sigma is reported, so 1-2% tunnel-noise moves between rounds stop
+    # being ambiguous (round-4 verdict item 9).
     r = bench_step(models.scene_1m(), warmup=3, iters=max(args.iters, 5),
-                   burst=120, neighbor_mode=args.neighbor_mode)
+                   burst=120, neighbor_mode=args.neighbor_mode, repeats=5)
     value = r["particle_steps_per_sec"]
     print(json.dumps(dict(
         metric="particle_steps_per_sec_1M",
         value=value,
         unit="particle-steps/s",
         vs_baseline=value / BASELINE_TARGET,
+        sigma=r.get("particle_steps_per_sec_sigma"),
+        samples=r.get("particle_steps_per_sec_samples"),
     )))
 
 
