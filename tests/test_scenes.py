@@ -18,7 +18,8 @@ from tpufluid.state import init_state
 from tpufluid.ops import resident
 
 
-@pytest.mark.parametrize("scene_fn", [models.scene_1m, models.scene_4m])
+@pytest.mark.parametrize("scene_fn", [models.scene_1m, models.scene_4m,
+                                      models.scene_64k, models.scene_256k])
 def test_tile_aligned_scene_geometry(scene_fn):
     s = scene_fn().settings
     gxp = resident._gxp(s)

@@ -52,24 +52,41 @@ def dam_break_4k() -> Scene:
 
 
 def scene_64k() -> Scene:
-    """BASELINE config 2: 64k particles, sorted neighbor search."""
+    """BASELINE config 2: 64k particles, sorted neighbor search.
+
+    Retiled round 5 to scene_1m's lane discipline: 512-lane grid (zero
+    pad columns), spawn 1008 columns at the reference rest packing
+    (spacing = h/2 -> settled occupancy ~3.8), box height sized to the
+    66-row spawn lattice (+ the eighth-cell offset so f32 rounding
+    never lands lattice rows ON a cell boundary). The old 53x53 box
+    compiled to a 267-wide grid padded to 384 lanes (117 dead lanes =
+    30% of every vector op) spread over 268 rows at occupancy ~0.93 —
+    round 4 measured 64k and 256k sharing an identical 268-row/67-
+    program dispatch grid, which WAS the mid-N floor (ROADMAP item 11).
+    This geometry has 36 rows / 9 programs.
+    """
     return Scene(
         name="sph-64k",
         settings=SimSettings(
             particle_count=65536, particle_spacing=0.1, smoothing_radius=0.2,
-            size=(53.0, 53.0), cell_capacity=8,
+            size=(101.95, 6.75), cell_capacity=8, spawn_columns=1008,
         ),
         params=TickParams.default(),
     )
 
 
 def scene_256k() -> Scene:
-    """BASELINE config 3: 256k particles + JFA surface render."""
+    """BASELINE config 3: 256k particles + JFA surface render.
+
+    Retiled round 5 like scene_64k (512-lane grid, occ-4 slab, 261
+    spawn rows): 134-row grid / 34 programs vs the old 268-row/67-
+    program 53x53 box with 30% pad lanes.
+    """
     return Scene(
         name="sph-256k",
         settings=SimSettings(
             particle_count=262144, particle_spacing=0.1, smoothing_radius=0.2,
-            size=(53.0, 53.0), cell_capacity=8,
+            size=(101.95, 26.25), cell_capacity=8, spawn_columns=1008,
         ),
         params=TickParams.default(),
     )
