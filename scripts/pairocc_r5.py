@@ -17,6 +17,17 @@ fluid. This script answers it:
     - mean occ3-pair (max over 3 pair-rows x all columns) — the scan
       bound a K=16 paired kernel would pay, vs the current occ3
 
+CAVEAT: occupancy here is read from the resident slot grid, so it
+SATURATES at cell_capacity (K=8 on the bench scenes) — a cell reading 8
+may want more. The zero-loss soak bounds the true max at <= 8 for the
+1M scene; scripts/pairocc_cpu_r5.py measures uncapped occupancy from
+raw positions and is the oracle for tail shapes near K.
+
+Round-5 result (real settled 1M scene, TPU): P(pair > 8) = 0.151/0.154
+per occupied pair per step (alignments A/B), per-step max pair 12-13,
+frac_steps_le8 = 0.0, occ3_pair_mean 11.1 vs occ3_row_mean 6.34 -> see
+ROADMAP item 8 (closed).
+
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python scripts/pairocc_r5.py
        [--scenes 64k,256k,1m] [--settle 1200] [--measure 200]
 """
