@@ -283,9 +283,13 @@ def run_configs(which=None, out=sys.stdout, mode="resident"):
         r["batch8x128k_particle_steps_per_sec"] = (
             B * bsettings.particle_count / sec)
         # per-world occupancy variance — the batched-vs-single gap's
-        # cost model (kernel work ~ occupied rows x occ3 per world)
+        # cost model (kernel work ~ occupied rows x occ3 per world) —
+        # and the counted drops (the raw kernel path counts capacity
+        # losses instead of regrowing; FluidApp's grow policy is the
+        # loss-free product path)
         r["batch8x128k_world_stats"] = res.batched_world_stats(
             bgs_end, bsettings, B)
+        r["batch8x128k_lost"] = int(bgs_end.lost)
         record("config4_1m", r)
     if wants(5):
         if jax.device_count() >= 2:
